@@ -1,0 +1,170 @@
+"""Command-line driver with the reference's benchmark/check surface.
+
+Benchmark mode (reference: svd_cpu.cpp:114-297, svd_cuda_2.cu:1357-1431):
+
+    python -m svdsolver_tpu bench MODEL step n_steps n_instances [block]
+
+with MODEL in {base, singlecore, multicore, diagonal, tpu1, tpu2}.  Sweeps
+matrix sizes N = k*step for k = 1..n_steps-1 over ``n_instances`` random
+uniform [0, 5] matrices per size (reference generators: svd_cpu.cpp:50-90),
+prints mean seconds per instance, and writes ``data/<model>_benchmark.csv``
+in the reference's schema.
+
+Check mode (reference: svd_cuda_2.cu:1296-1347):
+
+    python -m svdsolver_tpu check {64|512} [--band 4] [--dtype float|double]
+
+reads the shipped fixture, runs the two-stage Stage-I reduction with band=4,
+reports band-limited MSE vs the ``band_*`` fixture, then fully bidiagonalizes
+and reports MSE vs the ``bidiagonal_*`` fixture.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _make_matrices(n, count, rng, dtype, min_val=0.0, max_val=5.0):
+    return [
+        jnp.asarray(rng.uniform(min_val, max_val, size=(n, n)).astype(dtype))
+        for _ in range(count)
+    ]
+
+
+def _make_bidiagonals(n, count, rng, dtype, min_val=0.0, max_val=5.0):
+    return [
+        (
+            jnp.asarray(rng.uniform(min_val, max_val, size=n).astype(dtype)),
+            jnp.asarray(rng.uniform(min_val, max_val, size=n - 1).astype(dtype)),
+        )
+        for _ in range(count)
+    ]
+
+
+def cmd_bench(args):
+    from svdsolver_tpu.models.golub_kahan import bidiagonalize_gk_jit
+    from svdsolver_tpu.models.blocked import bidiagonalize_blocked
+    from svdsolver_tpu.models.two_stage import dense_to_band, band_to_bidiagonal
+    from svdsolver_tpu.models.diagonalize import bidiagonal_svdvals
+    from svdsolver_tpu.utils.timing import benchmark
+    from svdsolver_tpu.utils.csvout import write_benchmark_csv
+
+    model = args.model
+    dtype = np.float64 if args.dtype == "double" else np.float32
+    rng = np.random.default_rng(args.seed)
+    sizes, y, z = [], [], []
+    print(f"Model: {model}  step={args.step} steps={args.n_steps} "
+          f"instances={args.n_instances} block={args.block} dtype={args.dtype}")
+    print(f"devices: {jax.devices()}")
+
+    for k in range(1, args.n_steps):
+        n = k * args.step
+        t2 = None
+        if model == "diagonal":
+            data = _make_bidiagonals(n, args.n_instances, rng, dtype)
+            t1 = benchmark(lambda de: bidiagonal_svdvals(de[0], de[1]), data)
+            print(f"\tN = {n} : {t1:g} sec (bidiagonal -> diagonal)")
+        else:
+            data = _make_matrices(n, args.n_instances, rng, dtype)
+            if model == "base":
+                t1 = benchmark(bidiagonalize_gk_jit, data)
+                print(f"\tN = {n} : {t1:g} sec (dense -> bidiagonal)")
+            elif model == "singlecore":
+                t1 = benchmark(lambda A: bidiagonalize_blocked(A, panel=args.block), data)
+                print(f"\tN = {n} : {t1:g} sec (dense -> bidiagonal)")
+            elif model in ("multicore", "tpu1", "tpu2"):
+                pad = (-n) % args.block
+                if pad:  # reference requires divisibility (README.md:45); pad instead
+                    data = [jnp.pad(A, ((0, pad), (0, pad))) for A in data]
+                t1 = benchmark(lambda A: dense_to_band(A, band=args.block), data)
+                banded = [dense_to_band(A, band=args.block) for A in data]
+                t2 = benchmark(
+                    lambda A: band_to_bidiagonal(A, band=args.block), banded
+                )
+                print(
+                    f"\tN = {n} : {t1:g} sec (dense -> band) | "
+                    f"{t2:g} sec (band -> bidiagonal) | {t1 + t2:g} sec (total)"
+                )
+            else:
+                raise SystemExit(f"unknown model {model}")
+        sizes.append(n)
+        y.append(t1)
+        if t2 is not None:
+            z.append(t2)
+
+    path = args.output or f"data/{model}_benchmark.csv"
+    write_benchmark_csv(path, sizes, y, z if z else None)
+    print(f"\nWrote results to {path}")
+
+
+def cmd_check(args):
+    from svdsolver_tpu.models.two_stage import dense_to_band, bidiagonalize_two_stage
+    from svdsolver_tpu.utils import fixtures as fx
+
+    n = args.size
+    dtype = np.float64 if args.dtype == "double" else np.float32
+    band = args.band
+    A0 = fx.load_fixture("test", n, dtype)
+    pad = (-n) % band
+    A = jnp.asarray(np.pad(A0, ((0, pad), (0, pad))))
+
+    t0 = time.perf_counter()
+    Ab = np.asarray(dense_to_band(A, band=band))[:n, :n]
+    jax.block_until_ready(Ab)
+    t_band = time.perf_counter() - t0
+
+    band_ref = fx.load_fixture("band", n, dtype)
+    mse_band = fx.band_mse(Ab, band_ref, band)
+    print(f"band reduction    N={n} band={band}: {t_band:.3f}s  "
+          f"MSE vs fixture = {mse_band:.3e}")
+
+    d, e = bidiagonalize_two_stage(A, band=band)
+    d, e = np.asarray(d)[:n], np.asarray(e)[: n - 1]
+    bidiag_ref = fx.load_fixture("bidiagonal", n, dtype)
+    B = np.diag(d) + np.diag(e, 1)
+    mse_bidiag = fx.band_mse(B, bidiag_ref, 1)
+    print(f"bidiagonalization N={n}: MSE vs fixture = {mse_bidiag:.3e}")
+
+    # External oracle: singular values must match LAPACK to ~eps * ||A||.
+    sig_ref = np.linalg.svd(A0.astype(np.float64), compute_uv=False)
+    sig = np.linalg.svd(B.astype(np.float64), compute_uv=False)
+    rel = float(np.max(np.abs(sig - sig_ref)) / sig_ref[0])
+    print(f"max |sigma - sigma_lapack| / ||A||_2 = {rel:.3e}")
+    ok = rel < (1e-5 if dtype == np.float32 else 1e-10)
+    print("CHECK PASSED" if ok else "CHECK FAILED")
+    return 0 if ok else 1
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="svdsolver_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pb = sub.add_parser("bench", help="benchmark sweep (reference CLI parity)")
+    pb.add_argument("model", choices=[
+        "base", "singlecore", "multicore", "diagonal", "tpu1", "tpu2"])
+    pb.add_argument("step", type=int)
+    pb.add_argument("n_steps", type=int)
+    pb.add_argument("n_instances", type=int)
+    pb.add_argument("block", type=int, nargs="?", default=32)
+    pb.add_argument("--dtype", choices=["float", "double"], default="float")
+    pb.add_argument("--seed", type=int, default=0)
+    pb.add_argument("--output", default=None)
+    pb.set_defaults(fn=cmd_bench)
+
+    pc = sub.add_parser("check", help="fixture correctness check")
+    pc.add_argument("size", type=int, choices=[64, 512])
+    pc.add_argument("--band", type=int, default=4)
+    pc.add_argument("--dtype", choices=["float", "double"], default="float")
+    pc.set_defaults(fn=cmd_check)
+
+    args = p.parse_args(argv)
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,223 @@
+"""Bidiagonal -> singular values: implicit zero-shift QR (Demmel-Kahan 1990).
+
+Capability parity with the reference's ``impl_zero_shift`` (svd_serial.h:314),
+``diag_reduce_fixed_iter`` (svd_serial.h:348), ``qrd`` (svd_serial.h:368) and
+``Criteria`` (svd_serial.h:137), rebuilt for XLA's static-shape world:
+
+* the Givens chain of one sweep is a ``lax.fori_loop`` with scalar carries
+  (traced dynamic ``lo``/``hi`` bounds restrict it to the active block);
+* the reference's dynamic sub-block slicing (svd_serial.h:408) becomes a
+  vectorized deflation-window computation over the full ``e`` vector;
+* convergence uses the Demmel-Kahan lower-bound recurrences via ``lax.scan``
+  with dtype-correct ``eps`` (the reference hardcodes 1e-8 and has the
+  ``500*n^2``-is-XOR bug at svd_serial.h:164 — not replicated).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from svdsolver_tpu.ops.givens import givens
+
+
+def zero_shift_sweep(d, e, lo=None, hi=None):
+    """One Demmel-Kahan implicit zero-shift QR sweep over ``d[lo:hi+1]``.
+
+    ``d``: diagonal (length n); ``e``: superdiagonal (length n-1).
+    ``lo``/``hi`` (inclusive d-indices, default full range) bound the
+    unreduced block; they may be traced values.
+
+    Recurrence as in the reference (svd_serial.h:318-333):
+        rot  = givens(c * d[k], e[k]);     e[k-1] = r * s_   (k > lo)
+        rot_ = givens(c_ * r, d[k+1] * s); d[k]   = r_
+    finalized with  h = c*d[hi];  e[hi-1] = h*s_;  d[hi] = h*c_.
+    """
+    n = d.shape[0]
+    dtype = d.dtype
+    if lo is None:
+        lo = 0
+    if hi is None:
+        hi = n - 1
+    lo = jnp.asarray(lo, jnp.int32)
+    hi = jnp.asarray(hi, jnp.int32)
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+
+    def body(k, carry):
+        d, e, c, s, c_, s_ = carry
+        c1, s1, r1 = givens(c * d[k], e[k])
+        km1 = jnp.maximum(k - 1, 0)
+        e = e.at[km1].set(jnp.where(k > lo, r1 * s_, e[km1]))
+        c2, s2, r2 = givens(c_ * r1, d[k + 1] * s1)
+        d = d.at[k].set(r2)
+        return d, e, c1, s1, c2, s2
+
+    d, e, c, s, c_, s_ = lax.fori_loop(lo, hi, body, (d, e, one, zero, one, zero))
+    h = c * d[hi]
+    him1 = jnp.maximum(hi - 1, 0)
+    valid = hi > lo
+    e = e.at[him1].set(jnp.where(valid, h * s_, e[him1]))
+    d = d.at[hi].set(jnp.where(valid, h * c_, d[hi]))
+    return d, e
+
+
+def diag_reduce_fixed_iter(d, e, n_iter=200):
+    """``n_iter`` unconditional full sweeps (reference: svd_serial.h:348-353).
+
+    Benchmark-only variant; use :func:`bidiagonal_svdvals` for convergence.
+    """
+
+    def body(_, de):
+        return zero_shift_sweep(*de)
+
+    return lax.fori_loop(0, n_iter, body, (d, e))
+
+
+def convergence_threshold(d, e, tol_factor=100.0):
+    """Demmel-Kahan deflation threshold (reference: Criteria, svd_serial.h:137).
+
+    Computes the lambda/mu singular-value lower-bound recurrences (DK 1990,
+    p.20) with ``lax.scan`` and returns ``max(tol * lbound, tiny)`` where
+    ``tol = tol_factor * eps(dtype)``.
+    """
+    dtype = d.dtype
+    ad = jnp.abs(d)
+    ae = jnp.abs(e)
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    def mu_step(mu, de):
+        adj, aej = de
+        mu_next = adj * (mu / (mu + aej))
+        return mu_next, mu_next
+
+    # mu[0] = |d[0]|; mu[j+1] = |d[j+1]| * mu[j] / (mu[j] + |e[j]|)
+    _, mus = lax.scan(mu_step, ad[0], (ad[1:], ae))
+    # lambda[n-1] = |d[n-1]|; lambda[j] = |d[j]| * lam[j+1] / (lam[j+1] + |e[j]|)
+    _, lams = lax.scan(mu_step, ad[-1], (ad[:-1][::-1], ae[::-1]))
+    lbound = jnp.minimum(
+        jnp.minimum(jnp.min(mus), ad[0]), jnp.minimum(jnp.min(lams), ad[-1])
+    )
+    tol = jnp.asarray(tol_factor, dtype) * eps
+    return jnp.maximum(tol * lbound, tiny)
+
+
+def _sigma_min_2x2(f, g, h):
+    """Smaller singular value of ``[[f, g], [0, h]]`` (LAPACK ``dlas2``-style,
+    branchless).  Used for the Wilkinson-style shift of the implicit QR step."""
+    dtype = jnp.result_type(f, g, h)
+    fa, ga, ha = jnp.abs(f), jnp.abs(g), jnp.abs(h)
+    fhmn = jnp.minimum(fa, ha)
+    fhmx = jnp.maximum(fa, ha)
+    one = jnp.ones((), dtype)
+    safe_fhmx = jnp.where(fhmx == 0, one, fhmx)
+    safe_ga = jnp.where(ga == 0, one, ga)
+    # branch ga <= fhmx
+    as_ = 1 + fhmn / safe_fhmx
+    at = (fhmx - fhmn) / safe_fhmx
+    au1 = (ga / safe_fhmx) ** 2
+    c1 = 2 / (jnp.sqrt(as_ * as_ + au1) + jnp.sqrt(at * at + au1))
+    ss1 = fhmn * c1
+    # branch ga > fhmx
+    au2 = fhmx / safe_ga
+    c2 = 1 / (jnp.sqrt(1 + (as_ * au2) ** 2) + jnp.sqrt(1 + (at * au2) ** 2))
+    ss2 = jnp.where(au2 == 0, fhmn * fhmx / safe_ga, (fhmn * c2) * au2 * 2)
+    ssmin = jnp.where(ga <= fhmx, ss1, ss2)
+    return jnp.where(fhmn == 0, jnp.zeros((), dtype), ssmin)
+
+
+def shifted_sweep(d, e, lo, hi, shift):
+    """One implicit-shift QR sweep (Golub-Kahan SVD step) on ``d[lo:hi+1]``.
+
+    The chasing recurrence follows LAPACK ``dbdsqr``'s shifted forward path;
+    like :func:`zero_shift_sweep` it runs as a ``lax.fori_loop`` with scalar
+    carries and traced block bounds."""
+    n = d.shape[0]
+    dtype = d.dtype
+    lo = jnp.asarray(lo, jnp.int32)
+    hi = jnp.asarray(hi, jnp.int32)
+    dl = d[lo]
+    sgn = jnp.where(dl >= 0, jnp.ones((), dtype), -jnp.ones((), dtype))
+    safe_dl = jnp.where(dl == 0, jnp.ones((), dtype), dl)
+    f0 = (jnp.abs(dl) - shift) * (sgn + shift / safe_dl)
+    g0 = e[lo]
+
+    def body(i, carry):
+        d, e, f, g = carry
+        cosr, sinr, r = givens(f, g)
+        im1 = jnp.maximum(i - 1, 0)
+        e = e.at[im1].set(jnp.where(i > lo, r, e[im1]))
+        f2 = cosr * d[i] + sinr * e[i]
+        e = e.at[i].set(cosr * e[i] - sinr * d[i])
+        g2 = sinr * d[i + 1]
+        d = d.at[i + 1].set(cosr * d[i + 1])
+        cosl, sinl, r2 = givens(f2, g2)
+        d = d.at[i].set(r2)
+        f3 = cosl * e[i] + sinl * d[i + 1]
+        d = d.at[i + 1].set(cosl * d[i + 1] - sinl * e[i])
+        ip1 = jnp.minimum(i + 1, n - 2)
+        g3 = jnp.where(i < hi - 1, sinl * e[ip1], jnp.zeros((), dtype))
+        e = e.at[ip1].set(jnp.where(i < hi - 1, cosl * e[ip1], e[ip1]))
+        return d, e, f3, g3
+
+    d, e, f, _ = lax.fori_loop(lo, hi, body, (d, e, f0, g0))
+    him1 = jnp.maximum(hi - 1, 0)
+    e = e.at[him1].set(jnp.where(hi > lo, f, e[him1]))
+    return d, e
+
+
+@functools.partial(jax.jit, static_argnames=("max_sweeps",))
+def bidiagonal_svdvals(d, e, max_sweeps=None):
+    """Singular values of the bidiagonal matrix {d, e}, sorted descending.
+
+    Convergent QR diagonalization with deflation — the reference's ``qrd``
+    (svd_serial.h:367-422) as a ``lax.while_loop``:
+
+    * negligible ``|e[i]| <= threshold`` entries are hard-zeroed (deflation);
+    * the bottom-most unreduced block ``[lo, hi]`` is located with vectorized
+      index arithmetic instead of the reference's scan-and-slice;
+    * one zero-shift sweep runs on that block per iteration.
+    """
+    n = d.shape[0]
+    dtype = d.dtype
+    if n == 1:
+        return jnp.abs(d)
+    if max_sweeps is None:
+        max_sweeps = 30 * n
+    thresh = convergence_threshold(d, e)
+    idx = jnp.arange(n - 1, dtype=jnp.int32)
+
+    def cond(carry):
+        d, e, it = carry
+        return jnp.logical_and(it < max_sweeps, jnp.any(jnp.abs(e) > thresh))
+
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+
+    def body(carry):
+        d, e, it = carry
+        live = jnp.abs(e) > thresh
+        e = jnp.where(live, e, jnp.zeros((), dtype))
+        # hi: last live superdiagonal index; block spans d[lo .. hi+1].
+        hi_e = jnp.max(jnp.where(live, idx, -1))
+        dead_below = jnp.logical_and(idx < hi_e, jnp.logical_not(live))
+        lo = jnp.max(jnp.where(dead_below, idx + 1, 0))
+        hi = hi_e + 1
+        # Shift from the bottom 2x2; zeroed when it would spoil relative
+        # accuracy (LAPACK dbdsqr's test: (shift/|d[lo]|)^2 < eps).
+        shift = _sigma_min_2x2(d[jnp.maximum(hi - 1, 0)], e[hi_e], d[hi])
+        sll = jnp.abs(d[lo])
+        safe_sll = jnp.where(sll == 0, jnp.ones((), dtype), sll)
+        use_zero = jnp.logical_or(sll == 0, (shift / safe_sll) ** 2 < eps)
+        d, e = lax.cond(
+            use_zero,
+            lambda d, e: zero_shift_sweep(d, e, lo, hi),
+            lambda d, e: shifted_sweep(d, e, lo, hi, shift),
+            d,
+            e,
+        )
+        return d, e, it + 1
+
+    d, e, _ = lax.while_loop(cond, body, (d, e, jnp.int32(0)))
+    return jnp.sort(jnp.abs(d))[::-1]

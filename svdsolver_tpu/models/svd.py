@@ -1,0 +1,67 @@
+"""Top-level singular-value driver: model dispatch over the capability ladder.
+
+The reference exposes its four implementations through CLI model names
+(svd_cpu.cpp:143-162: base | singlecore | multicore | diagonal, plus the CUDA
+drivers).  Here the same ladder is a single ``svdvals`` entry point with a
+``method`` switch; every path is jit-compiled end-to-end.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from svdsolver_tpu.models.golub_kahan import bidiagonalize_gk
+from svdsolver_tpu.models.blocked import bidiagonalize_blocked
+from svdsolver_tpu.models.two_stage import bidiagonalize_two_stage
+from svdsolver_tpu.models.diagonalize import bidiagonal_svdvals
+
+METHODS = ("base", "singlecore", "multicore", "tpu1", "tpu2")
+
+
+class Bidiagonal(NamedTuple):
+    """Bidiagonal factor {d, e} (reference: svd_serial.h:79-125)."""
+
+    d: jnp.ndarray
+    e: jnp.ndarray
+
+
+def _pad_to_multiple(A, b):
+    n = A.shape[0]
+    r = (-n) % b
+    if r == 0:
+        return A, n
+    return jnp.pad(A, ((0, r), (0, r))), n
+
+
+def bidiagonalize(A, method="tpu2", block=32):
+    """Reduce ``A`` to bidiagonal form with the chosen model; returns Bidiagonal.
+
+    base       : Golub-Kahan, unblocked           (reference `brd`)
+    singlecore : blocked one-stage compact-WY     (reference `block_brd`)
+    multicore / tpu1 / tpu2 : two-stage band reduction + bulge chase
+                 (reference `brd_p1`+`brd_p2` / `cuda_brd_p1`); on TPU the
+                 three share the XLA/Pallas path — thread fan-out and CUDA
+                 kernel launches both map to compiled device code.
+    """
+    if method == "base":
+        d, e = bidiagonalize_gk(A)
+    elif method == "singlecore":
+        d, e = bidiagonalize_blocked(A, panel=block)
+    elif method in ("multicore", "tpu1", "tpu2"):
+        Ap, n = _pad_to_multiple(A, block)
+        d, e = bidiagonalize_two_stage(Ap, band=block)
+        d, e = d[:n], e[: n - 1]
+    else:
+        raise ValueError(f"unknown method {method!r}; choose from {METHODS}")
+    return Bidiagonal(d, e)
+
+
+def svdvals(A, method="tpu2", block=32):
+    """Singular values of square ``A``, sorted descending.
+
+    End-to-end: bidiagonalize with the chosen model, then implicit zero-shift
+    QR with deflation (reference `qrd`, svd_serial.h:368).
+    """
+    n = A.shape[0]
+    B = bidiagonalize(A, method=method, block=block)
+    return bidiagonal_svdvals(B.d, B.e)[:n]

@@ -1,0 +1,164 @@
+"""Two-stage bidiagonalization — the "multicore"/"CUDA" model, TPU-native.
+
+Stage I  (dense -> band):  panel QR/LQ with compact-WY block reflectors and
+GEMM trailing updates (capability parity with the reference's ``brd_p1``
+family: svd_parallel.h:410, svd_cpu.h:370, svd_cuda_1.cu:750,
+svd_cuda_2.cu:1117).  The reference's tiled/OpenMP and CUDA kernel-launch
+structure is replaced by one jitted ``lax.fori_loop`` over panels whose
+trailing updates are full-width GEMMs — XLA tiles them onto the MXU, which is
+the TPU equivalent of both the OpenMP tile fan-out and the ``mm_kernel``
+launches.
+
+Stage II (band -> bidiagonal): Householder bulge chasing
+(reference: ``brd_p2`` + ``band_rd_top/right/left``, svd_parallel.h:568-695)
+over fixed-size windows.  The reference clamps every window with ``min()`` at
+the matrix edges; here the matrix is zero-padded once so all windows are
+static-shape and edge reflectors degenerate to no-ops — no masking, no
+dynamic shapes.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from svdsolver_tpu.ops.householder import householder_vector
+from svdsolver_tpu.ops.precision import pdot
+
+
+def _panel_qr_step(A, c0, r_off, b):
+    """Factor panel columns ``[c0, c0+b)`` with pivot row ``r_off + j`` for
+    panel column ``j``; apply the aggregated block reflector to the trailing
+    matrix.  ``r_off == c0`` gives a QR panel (dense->band column step);
+    calling on ``A.T`` with ``r_off == c0 + b`` gives the LQ row step.
+
+    Returns the updated ``A``.  Compact-WY: ``Q = I - V T V^T`` accumulated
+    via the larft forward recurrence (the reference's ``hholder_compact`` /
+    ``wy_compact_cuda``: svd_parallel.h:96, svd_cuda_2.cu:838).
+    """
+    m, n = A.shape
+    dtype = A.dtype
+    P0 = lax.dynamic_slice(A, (0, c0), (m, b))
+    V0 = jnp.zeros((m, b), dtype)
+    T0 = jnp.zeros((b, b), dtype)
+    ridx = jnp.arange(m)
+
+    def col_body(j, carry):
+        P, V, T = carry
+        p = r_off + j
+        v, tau, beta = householder_vector(P[:, j], p)
+        P = P - tau * jnp.outer(v, pdot(v, P))
+        # Exact column j: zeros strictly below the pivot, beta at the pivot.
+        colj = jnp.where(ridx > p, jnp.zeros((), dtype), P[:, j])
+        pc = jnp.minimum(p, m - 1)
+        colj = colj.at[pc].set(jnp.where(p < m, beta, colj[pc]))
+        P = P.at[:, j].set(colj)
+        # larft update: T[:, j] = -tau * T @ (V^T v);  T[j, j] = tau.
+        w = pdot(V.T, v)  # zero at indices >= j (those V columns are still zero)
+        T = T.at[:, j].set(-tau * pdot(T, w))
+        T = T.at[j, j].set(tau)
+        V = V.at[:, j].set(v)
+        return P, V, T
+
+    P, V, T = lax.fori_loop(0, b, col_body, (P0, V0, T0))
+    # Trailing update A <- (I - V T V^T)^T A; columns left of the panel are
+    # zero under V's row support (already reduced), the panel itself is
+    # overwritten with its factored form below.
+    W = pdot(V.T, A)
+    A = A - pdot(V, pdot(T.T, W))
+    A = lax.dynamic_update_slice(A, P, (0, c0))
+    return A
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def dense_to_band(A, band=32):
+    """Stage I: reduce square ``A`` to upper-band form (``band`` superdiagonals).
+
+    Requires ``n % band == 0`` (as the reference does — README.md:45); callers
+    pad otherwise (zero padding only appends zero singular values).
+    """
+    n = A.shape[0]
+    b = int(band)
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("dense_to_band expects a square matrix")
+    if n % b != 0:
+        raise ValueError(f"n={n} must be divisible by band={b}")
+
+    def step(k, A):
+        c = k * b
+        A = _panel_qr_step(A, c, c, b)           # QR on panel columns
+        A = _panel_qr_step(A.T, c, c + b, b).T   # LQ on panel rows
+        return A
+
+    return lax.fori_loop(0, n // b, step, A)
+
+
+def _left_elim(A, r0, c0, wr, wc):
+    """Householder on window column 0 (pivot = window row 0), applied from the
+    left to the whole window (reference: band_rd_left, svd_parallel.h:619)."""
+    W = lax.dynamic_slice(A, (r0, c0), (wr, wc))
+    v, tau, _ = householder_vector(W[:, 0], 0)
+    W = W - tau * jnp.outer(v, pdot(v, W))
+    return lax.dynamic_update_slice(A, W, (r0, c0))
+
+
+def _right_elim(A, r0, c0, wr, wc):
+    """Householder on window row 0 (pivot = window col 0), applied from the
+    right to the whole window (reference: band_rd_right, svd_parallel.h:601)."""
+    W = lax.dynamic_slice(A, (r0, c0), (wr, wc))
+    v, tau, _ = householder_vector(W[0, :], 0)
+    W = W - tau * jnp.outer(pdot(W, v), v)
+    return lax.dynamic_update_slice(A, W, (r0, c0))
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def band_to_bidiagonal(A, band=32):
+    """Stage II: bulge-chase an upper-band matrix (``band`` superdiagonals)
+    down to bidiagonal.  Returns ``(d, e)``.
+
+    Mirrors the reference's sweep structure (brd_p2, svd_parallel.h:639): for
+    each column ``i`` a row elimination + column elimination open the sweep,
+    then ``right``/``left`` window pairs chase the bulge off the band, each
+    advancing ``w - 1`` rows/cols (``w = band + 1``, the reference's
+    ``b_size += 1`` at svd_parallel.h:649).
+    """
+    n = A.shape[0]
+    dtype = A.dtype
+    w = int(band) + 1
+    if n < 2:
+        return jnp.abs(jnp.diag(A)), jnp.zeros((0,), dtype)
+    # Zero-pad so every window is in-bounds: reflectors over the pad are
+    # identity (zero tails) and pad writes are discarded on return.
+    pad = 2 * w + 2
+    Ap = jnp.pad(A, ((0, pad), (0, pad)))
+    step = w - 1
+
+    def sweep(i, Ap):
+        # Task 1 (band_rd_top): eliminate row i right of the superdiagonal,
+        # then column i+1 below the diagonal.
+        Ap = _right_elim(Ap, i, i + 1, w, w - 1)
+        Ap = _left_elim(Ap, i + 1, i + 1, w - 1, 2 * w - 2)
+        # Chase: t_left invariant shape (w-1, 2w-2) starting at (i+1, i+1);
+        # each iteration advances both window corners by w-1.
+        n_chase = lax.max(jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // step)) + 1
+
+        def chase(k, Ap):
+            r = i + 1 + k * step
+            c = i + 1 + (k + 1) * step
+            Ap = _right_elim(Ap, r, c, 2 * w - 2, w - 1)
+            Ap = _left_elim(Ap, r + step, c, w - 1, 2 * w - 2)
+            return Ap
+
+        return lax.fori_loop(0, n_chase, chase, Ap)
+
+    Ap = lax.fori_loop(0, n - 1, sweep, Ap)
+    B = Ap[:n, :n]
+    return jnp.diag(B), jnp.diag(B, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def bidiagonalize_two_stage(A, band=32):
+    """Full two-stage reduction: dense -> band -> bidiagonal; returns (d, e)."""
+    A = dense_to_band(A, band=band)
+    return band_to_bidiagonal(A, band=band)

@@ -1,0 +1,85 @@
+"""Sharded multi-chip SVD execution.
+
+Design (scaling-book style): pick a mesh, annotate shardings, let XLA insert
+the collectives.  Two axes:
+
+* ``dp`` (data parallel): independent problem instances — a batch of matrices
+  sharded on the leading axis; zero communication.
+* ``tp`` (tensor parallel): rows of each matrix sharded across chips, so the
+  Stage-I trailing-update GEMMs (``V^T A`` then ``A - V T^T W``) partition
+  over the ICI with an all-reduce per panel — the same math as the
+  single-chip path, compiled once under ``jit`` with sharding constraints.
+
+The reference has no distributed layer (single process + one GPU); this is
+the capability the TPU build adds on top of parity.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from svdsolver_tpu.models.two_stage import dense_to_band, band_to_bidiagonal
+from svdsolver_tpu.models.diagonalize import bidiagonal_svdvals
+
+
+def dense_to_band_sharded(A, mesh, band=32):
+    """Stage I with rows sharded over the mesh's ``tp`` axis."""
+    A = jax.lax.with_sharding_constraint(
+        A, NamedSharding(mesh, P("tp", None))
+    )
+    return dense_to_band(A, band=band)
+
+
+@functools.partial(jax.jit, static_argnames=("band", "mesh"))
+def _svdvals_batch(As, mesh, band):
+    n = As.shape[-1]
+
+    def one(A):
+        A = jax.lax.with_sharding_constraint(
+            A, NamedSharding(mesh, P(None, "tp"))
+        )
+        Ab = dense_to_band(A, band=band)
+        d, e = band_to_bidiagonal(Ab, band=band)
+        return bidiagonal_svdvals(d, e)[:n]
+
+    return jax.vmap(one)(As)
+
+
+def svdvals_batch_sharded(As, mesh, band=32):
+    """Singular values of a batch of square matrices.
+
+    ``As``: (batch, n, n); the batch axis shards over ``dp``, the in-matrix
+    contraction over ``tp``.  One compiled executable; XLA places the
+    collectives.
+    """
+    As = jax.device_put(As, NamedSharding(mesh, P("dp", None, "tp")))
+    return _svdvals_batch(As, mesh, band)
+
+
+def dryrun(n_devices: int) -> None:
+    """Compile + execute one fully-sharded step on tiny shapes.
+
+    Builds an ``n_devices`` mesh (dp x tp), runs a data-parallel batch of
+    tensor-parallel two-stage SVDs, and checks the result is finite and
+    matches the single-device path.
+    """
+    import numpy as np
+    from svdsolver_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_devices)
+    batch = 2 * mesh.shape["dp"]
+    n, band = 32, 8
+    rng = np.random.default_rng(0)
+    As = jnp.asarray(rng.uniform(0.0, 5.0, (batch, n, n)).astype(np.float32))
+    sig = jax.block_until_ready(svdvals_batch_sharded(As, mesh, band=band))
+    assert sig.shape == (batch, n), sig.shape
+    assert bool(jnp.all(jnp.isfinite(sig))), "non-finite singular values"
+    ref = np.linalg.svd(np.asarray(As, np.float64), compute_uv=False)
+    err = float(np.max(np.abs(np.asarray(sig) - ref) / ref[:, :1]))
+    assert err < 1e-4, f"sharded svd mismatch vs LAPACK: {err}"
+    print(
+        f"dryrun_multichip OK: mesh={dict(mesh.shape)} batch={batch} "
+        f"n={n} band={band} max_rel_err={err:.2e}"
+    )

@@ -1,0 +1,94 @@
+"""Tests for the implicit zero-shift QR diagonalization."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import jax
+
+from svdsolver_tpu.models import diagonalize as dg
+from svdsolver_tpu.models.svd import svdvals
+
+zero_shift_sweep = jax.jit(dg.zero_shift_sweep)
+diag_reduce_fixed_iter = jax.jit(dg.diag_reduce_fixed_iter, static_argnums=2)
+bidiagonal_svdvals = dg.bidiagonal_svdvals  # already jitted
+convergence_threshold = jax.jit(dg.convergence_threshold)
+
+
+def rand_bidiag(rng, n):
+    d = jnp.asarray(rng.normal(size=n))
+    e = jnp.asarray(rng.normal(size=n - 1))
+    return d, e
+
+
+def sigma_of(d, e):
+    B = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+    return np.linalg.svd(B, compute_uv=False)
+
+
+def test_sweep_preserves_singular_values(rng):
+    d, e = rand_bidiag(rng, 12)
+    want = sigma_of(d, e)
+    d2, e2 = zero_shift_sweep(d, e)
+    got = sigma_of(d2, e2)
+    np.testing.assert_allclose(np.sort(got), np.sort(want), rtol=1e-10)
+
+
+def test_sweep_subblock_only_touches_block(rng):
+    d, e = rand_bidiag(rng, 12)
+    d2, e2 = zero_shift_sweep(d, e, 3, 7)
+    # outside [3,7] (d) and [3,6] (e) untouched
+    np.testing.assert_array_equal(np.asarray(d2)[:3], np.asarray(d)[:3])
+    np.testing.assert_array_equal(np.asarray(d2)[8:], np.asarray(d)[8:])
+    np.testing.assert_array_equal(np.asarray(e2)[:3], np.asarray(e)[:3])
+    np.testing.assert_array_equal(np.asarray(e2)[7:], np.asarray(e)[7:])
+    # sub-block singular values preserved
+    want = sigma_of(np.asarray(d)[3:8], np.asarray(e)[3:7])
+    got = sigma_of(np.asarray(d2)[3:8], np.asarray(e2)[3:7])
+    np.testing.assert_allclose(np.sort(got), np.sort(want), rtol=1e-10)
+
+
+def test_fixed_iter_converges_superdiagonal(rng):
+    d, e = rand_bidiag(rng, 8)
+    d2, e2 = diag_reduce_fixed_iter(d, e, 200)
+    # zero-shift sweeps drive e -> 0
+    assert np.max(np.abs(np.asarray(e2))) < 1e-8 * np.max(np.abs(np.asarray(d2)))
+
+
+@pytest.mark.parametrize("n", [2, 5, 16, 64])
+def test_svdvals_vs_lapack(rng, n):
+    d, e = rand_bidiag(rng, n)
+    want = sigma_of(d, e)
+    got = np.asarray(bidiagonal_svdvals(d, e))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-12 * want[0])
+
+
+def test_svdvals_with_deflation_splits(rng):
+    # exact zeros in e force independent blocks
+    d = jnp.asarray(rng.normal(size=10))
+    e = jnp.asarray(rng.normal(size=9)).at[3].set(0.0).at[7].set(0.0)
+    want = sigma_of(d, e)
+    got = np.asarray(bidiagonal_svdvals(d, e))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-12 * want[0])
+
+
+def test_threshold_positive(rng):
+    d, e = rand_bidiag(rng, 20)
+    t = float(convergence_threshold(d, e))
+    assert t > 0
+
+
+@pytest.mark.parametrize("method", ["base", "singlecore", "multicore"])
+def test_full_svdvals_pipeline(rng, method):
+    A = jnp.asarray(rng.normal(size=(32, 32)))
+    want = np.linalg.svd(np.asarray(A), compute_uv=False)
+    got = np.asarray(svdvals(A, method=method, block=8))
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9 * want[0])
+
+
+def test_full_svdvals_padding(rng):
+    # n not divisible by block exercises the padding path
+    A = jnp.asarray(rng.normal(size=(30, 30)))
+    want = np.linalg.svd(np.asarray(A), compute_uv=False)
+    got = np.asarray(svdvals(A, method="tpu2", block=8))
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9 * want[0])
