@@ -30,8 +30,10 @@ from svdsolver_tpu.models.two_stage import (
 )
 from svdsolver_tpu.models.diagonalize import (
     zero_shift_sweep,
+    shifted_sweep,
     diag_reduce_fixed_iter,
     bidiagonal_svdvals,
+    bisect_svdvals,
     convergence_threshold,
 )
 from svdsolver_tpu.models.svd import svdvals, Bidiagonal
@@ -49,8 +51,10 @@ __all__ = [
     "band_to_bidiagonal",
     "bidiagonalize_two_stage",
     "zero_shift_sweep",
+    "shifted_sweep",
     "diag_reduce_fixed_iter",
     "bidiagonal_svdvals",
+    "bisect_svdvals",
     "convergence_threshold",
     "svdvals",
     "Bidiagonal",

@@ -50,7 +50,7 @@ def cmd_bench(args):
     from svdsolver_tpu.models.golub_kahan import bidiagonalize_gk_jit
     from svdsolver_tpu.models.blocked import bidiagonalize_blocked
     from svdsolver_tpu.models.two_stage import dense_to_band, band_to_bidiagonal
-    from svdsolver_tpu.models.diagonalize import bidiagonal_svdvals
+    from svdsolver_tpu.models.diagonalize import bidiagonal_svdvals, bisect_svdvals
     from svdsolver_tpu.utils.timing import benchmark
     from svdsolver_tpu.utils.csvout import write_benchmark_csv
 
@@ -67,8 +67,9 @@ def cmd_bench(args):
         t2 = None
         if model == "diagonal":
             data = _make_bidiagonals(n, args.n_instances, rng, dtype)
-            t1 = benchmark(lambda de: bidiagonal_svdvals(de[0], de[1]), data)
-            print(f"\tN = {n} : {t1:g} sec (bidiagonal -> diagonal)")
+            solver = bidiagonal_svdvals if args.diag == "qr" else bisect_svdvals
+            t1 = benchmark(lambda de: solver(de[0], de[1]), data)
+            print(f"\tN = {n} : {t1:g} sec (bidiagonal -> diagonal, {args.diag})")
         else:
             data = _make_matrices(n, args.n_instances, rng, dtype)
             if model == "base":
@@ -152,6 +153,8 @@ def main(argv=None):
     pb.add_argument("n_instances", type=int)
     pb.add_argument("block", type=int, nargs="?", default=32)
     pb.add_argument("--dtype", choices=["float", "double"], default="float")
+    pb.add_argument("--diag", choices=["bisect", "qr"], default="bisect",
+                    help="diagonalization algorithm for the 'diagonal' model")
     pb.add_argument("--seed", type=int, default=0)
     pb.add_argument("--output", default=None)
     pb.set_defaults(fn=cmd_bench)

@@ -15,6 +15,8 @@ Capability parity with the reference's ``impl_zero_shift`` (svd_serial.h:314),
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -221,3 +223,64 @@ def bidiagonal_svdvals(d, e, max_sweeps=None):
 
     d, e, _ = lax.while_loop(cond, body, (d, e, jnp.int32(0)))
     return jnp.sort(jnp.abs(d))[::-1]
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def bisect_svdvals(d, e, iters=None):
+    """Singular values of the bidiagonal {d, e} by parallel bisection.
+
+    TPU-native alternative to QR iteration (no reference counterpart — the
+    reference's ``qrd`` is inherently sequential: ~n rotations per sweep and
+    O(n) sweeps, hopeless at scale on a vector machine).  Here all ``n``
+    values are bisected *simultaneously* on the Golub-Kahan tridiagonal
+    ``TGK = P [[0, B^T], [B, 0]] P^T`` (zero diagonal, off-diagonals
+    interleaving d and e), whose eigenvalues are +/-sigma.  One bisection
+    step evaluates a Sturm pivot count for n shifts at once: the recurrence
+    ``p <- -lam - z_i^2 / p`` runs as a single ``fori_loop`` of length 2n
+    with (n,)-vector lanes, so sequential depth is O(2n * iters) instead of
+    the QR iteration's O(n^2) scalar chain.
+
+    Component-wise accurate for bidiagonals (Demmel-Kahan 1990, sec. 5 —
+    bisection on TGK determines singular values to high relative accuracy);
+    absolute error is ``~||B|| * 2**-iters``.
+    """
+    n = d.shape[0]
+    dtype = d.dtype
+    if n == 1:
+        return jnp.abs(d)
+    if iters is None:
+        # enough halvings to reach eps * ||B|| from the Gershgorin bracket
+        iters = int(np.ceil(-np.log2(np.finfo(dtype).eps))) + 12
+    # TGK off-diagonals: (d1, e1, d2, e2, ..., d_n) -> (2n-1,)
+    z = jnp.zeros((2 * n - 1,), dtype).at[0::2].set(d).at[1::2].set(e)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    z2 = jnp.maximum(z * z, tiny)  # tiny decouples exact splits safely
+    az = jnp.abs(z)
+    azp = jnp.pad(az, (1, 1))
+    bound = jnp.max(azp[:-1] + azp[1:]) * (1 + 4 * jnp.finfo(dtype).eps)
+
+    def count_sigma_less(lam):
+        """#(sigma < lam_j) for each lane j, via TGK Sturm pivot signs."""
+        p0 = -lam
+        cnt0 = (p0 < 0).astype(jnp.int32)
+
+        def step(i, carry):
+            p, cnt = carry
+            p = -lam - z2[i - 1] / p
+            return p, cnt + (p < 0)
+
+        _, cnt = lax.fori_loop(1, 2 * n, step, (p0, cnt0))
+        return cnt - n  # TGK eigs below lam minus the n negative ones
+
+    lo = jnp.zeros((n,), dtype)
+    hi = jnp.full((n,), bound, dtype)
+    ks = jnp.arange(n, dtype=jnp.int32)  # lane j targets the j-th smallest
+
+    def biter(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        above = count_sigma_less(mid) > ks
+        return jnp.where(above, lo, mid), jnp.where(above, mid, hi)
+
+    lo, hi = lax.fori_loop(0, int(iters), biter, (lo, hi))
+    return (0.5 * (lo + hi))[::-1]

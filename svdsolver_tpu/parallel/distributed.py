@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from svdsolver_tpu.models.two_stage import dense_to_band, band_to_bidiagonal
-from svdsolver_tpu.models.diagonalize import bidiagonal_svdvals
+from svdsolver_tpu.models.diagonalize import bisect_svdvals
 
 
 def dense_to_band_sharded(A, mesh, band=32):
@@ -42,7 +42,9 @@ def _svdvals_batch(As, mesh, band):
         )
         Ab = dense_to_band(A, band=band)
         d, e = band_to_bidiagonal(Ab, band=band)
-        return bidiagonal_svdvals(d, e)[:n]
+        # bisection: fixed iteration count -> no cross-batch while_loop
+        # convergence coupling under vmap, and fully vectorized on-device
+        return bisect_svdvals(d, e)[:n]
 
     return jax.vmap(one)(As)
 

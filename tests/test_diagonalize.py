@@ -12,6 +12,7 @@ from svdsolver_tpu.models.svd import svdvals
 zero_shift_sweep = jax.jit(dg.zero_shift_sweep)
 diag_reduce_fixed_iter = jax.jit(dg.diag_reduce_fixed_iter, static_argnums=2)
 bidiagonal_svdvals = dg.bidiagonal_svdvals  # already jitted
+bisect_svdvals = dg.bisect_svdvals  # already jitted
 convergence_threshold = jax.jit(dg.convergence_threshold)
 
 
@@ -70,6 +71,33 @@ def test_svdvals_with_deflation_splits(rng):
     want = sigma_of(d, e)
     got = np.asarray(bidiagonal_svdvals(d, e))
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-12 * want[0])
+
+
+@pytest.mark.parametrize("n", [1, 2, 5, 16, 64])
+def test_bisect_vs_lapack(rng, n):
+    d = jnp.asarray(rng.normal(size=n))
+    e = jnp.asarray(rng.normal(size=max(n - 1, 0)))
+    B = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+    want = np.linalg.svd(B, compute_uv=False)
+    got = np.asarray(bisect_svdvals(d, e))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12 * max(want[0], 1))
+
+
+def test_bisect_with_exact_zeros(rng):
+    d = jnp.asarray(rng.normal(size=10)).at[4].set(0.0)
+    e = jnp.asarray(rng.normal(size=9)).at[6].set(0.0)
+    B = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+    want = np.linalg.svd(B, compute_uv=False)
+    got = np.asarray(bisect_svdvals(d, e))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-13 * want[0])
+
+
+def test_bisect_repeated_values():
+    # identity-like bidiagonal: all sigma equal
+    d = jnp.ones((8,))
+    e = jnp.zeros((7,))
+    got = np.asarray(bisect_svdvals(d, e))
+    np.testing.assert_allclose(got, np.ones(8), rtol=1e-12)
 
 
 def test_threshold_positive(rng):
