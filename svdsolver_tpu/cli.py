@@ -51,6 +51,7 @@ def cmd_bench(args):
     from svdsolver_tpu.models.blocked import bidiagonalize_blocked
     from svdsolver_tpu.models.two_stage import dense_to_band, band_to_bidiagonal
     from svdsolver_tpu.models.diagonalize import bidiagonal_svdvals, bisect_svdvals
+    from svdsolver_tpu.models.svd import use_pallas
     from svdsolver_tpu.utils.timing import benchmark
     from svdsolver_tpu.utils.csvout import write_benchmark_csv
 
@@ -82,11 +83,16 @@ def cmd_bench(args):
                 pad = (-n) % args.block
                 if pad:  # reference requires divisibility (README.md:45); pad instead
                     data = [jnp.pad(A, ((0, pad), (0, pad))) for A in data]
+                stage2 = band_to_bidiagonal
+                if model == "tpu2" and use_pallas(dtype):
+                    from svdsolver_tpu.ops.pallas.band_chase import (
+                        band_to_bidiagonal_pallas,
+                    )
+
+                    stage2 = band_to_bidiagonal_pallas
                 t1 = benchmark(lambda A: dense_to_band(A, band=args.block), data)
                 banded = [dense_to_band(A, band=args.block) for A in data]
-                t2 = benchmark(
-                    lambda A: band_to_bidiagonal(A, band=args.block), banded
-                )
+                t2 = benchmark(lambda A: stage2(A, band=args.block), banded)
                 print(
                     f"\tN = {n} : {t1:g} sec (dense -> band) | "
                     f"{t2:g} sec (band -> bidiagonal) | {t1 + t2:g} sec (total)"

@@ -8,12 +8,18 @@ drivers).  Here the same ladder is a single ``svdvals`` entry point with a
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from svdsolver_tpu.models.golub_kahan import bidiagonalize_gk
 from svdsolver_tpu.models.blocked import bidiagonalize_blocked
-from svdsolver_tpu.models.two_stage import bidiagonalize_two_stage
+from svdsolver_tpu.models.two_stage import dense_to_band, band_to_bidiagonal
 from svdsolver_tpu.models.diagonalize import bidiagonal_svdvals, bisect_svdvals
+
+
+def use_pallas(dtype):
+    """The Pallas device-resident paths need a real TPU backend and fp32."""
+    return jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float32
 
 METHODS = ("base", "singlecore", "multicore", "tpu1", "tpu2")
 
@@ -65,7 +71,16 @@ def bidiagonalize(A, method="tpu2", block=None):
         d, e = bidiagonalize_blocked(A, panel=block)
     elif method in ("multicore", "tpu1", "tpu2"):
         Ap, n = _pad_to_multiple(A, block)
-        d, e = bidiagonalize_two_stage(Ap, band=block)
+        Ab = dense_to_band(Ap, band=block)
+        if method == "tpu2" and use_pallas(A.dtype):
+            # device-resident single-launch chase (the CUDA-2 analogue)
+            from svdsolver_tpu.ops.pallas.band_chase import (
+                band_to_bidiagonal_pallas,
+            )
+
+            d, e = band_to_bidiagonal_pallas(Ab, band=block)
+        else:
+            d, e = band_to_bidiagonal(Ab, band=block)
         d, e = d[:n], e[: n - 1]
     else:
         raise ValueError(f"unknown method {method!r}; choose from {METHODS}")
@@ -82,6 +97,10 @@ def svdvals(A, method="tpu2", block=None, diag="bisect"):
     n = A.shape[0]
     B = bidiagonalize(A, method=method, block=block)
     if diag == "bisect":
+        if method == "tpu2" and use_pallas(A.dtype):
+            from svdsolver_tpu.ops.pallas.bisect import bisect_svdvals_pallas
+
+            return bisect_svdvals_pallas(B.d, B.e)[:n]
         return bisect_svdvals(B.d, B.e)[:n]
     elif diag == "qr":
         return bidiagonal_svdvals(B.d, B.e)[:n]

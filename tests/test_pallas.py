@@ -1,0 +1,66 @@
+"""Differential tests for the Pallas device-resident kernels.
+
+These run only on a real TPU backend (the kernels are fp32/TPU-only); on CPU
+runs they skip.  Oracle: the XLA implementations of the same math.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+if jax.default_backend() != "tpu":
+    pytest.skip("Pallas TPU kernels need a TPU backend", allow_module_level=True)
+
+from svdsolver_tpu.models.two_stage import dense_to_band, band_to_bidiagonal
+from svdsolver_tpu.models.diagonalize import bisect_svdvals
+from svdsolver_tpu.ops.pallas.band_chase import band_to_bidiagonal_pallas
+from svdsolver_tpu.ops.pallas.bisect import bisect_svdvals_pallas
+
+
+@pytest.mark.parametrize("n,b", [(64, 8), (96, 16)])
+def test_pallas_chase_sigma(rng, n, b):
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ab = dense_to_band(A, band=b)
+    d, e = band_to_bidiagonal_pallas(Ab, band=b)
+    B = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+    want = np.linalg.svd(np.asarray(A).astype(np.float64), compute_uv=False)
+    got = np.linalg.svd(B.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5 * want[0])
+
+
+def test_pallas_chase_matches_xla_leading(rng):
+    # elementwise agreement up to fp32 rounding drift on the leading entries
+    n, b = 64, 8
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ab = dense_to_band(A, band=b)
+    d1, e1 = band_to_bidiagonal(Ab, band=b)
+    d2, e2 = band_to_bidiagonal_pallas(Ab, band=b)
+    np.testing.assert_allclose(
+        np.abs(np.asarray(d1))[:8], np.abs(np.asarray(d2))[:8], rtol=1e-4
+    )
+
+
+def test_pallas_chase_rejects_bad_band(rng):
+    A = jnp.asarray(rng.normal(size=(20, 20)).astype(np.float32))
+    with pytest.raises(ValueError):
+        band_to_bidiagonal_pallas(A, band=5)
+
+
+@pytest.mark.parametrize("n", [8, 64, 200])
+def test_pallas_bisect_matches_xla(rng, n):
+    d = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=n - 1).astype(np.float32))
+    s_ref = np.asarray(bisect_svdvals(d, e))
+    s = np.asarray(bisect_svdvals_pallas(d, e))
+    np.testing.assert_array_equal(s, s_ref)
+
+
+def test_pallas_end_to_end_svdvals(rng):
+    from svdsolver_tpu.models.svd import svdvals
+
+    n = 64
+    A = jnp.asarray(rng.uniform(0, 5, (n, n)).astype(np.float32))
+    want = np.linalg.svd(np.asarray(A).astype(np.float64), compute_uv=False)
+    got = np.asarray(svdvals(A, method="tpu2", block=16))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5 * want[0])
