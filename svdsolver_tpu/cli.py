@@ -83,15 +83,20 @@ def cmd_bench(args):
                 pad = (-n) % args.block
                 if pad:  # reference requires divisibility (README.md:45); pad instead
                     data = [jnp.pad(A, ((0, pad), (0, pad))) for A in data]
+                stage1 = dense_to_band
                 stage2 = band_to_bidiagonal
+                if model == "multicore":
+                    from svdsolver_tpu.models.tiled import dense_to_band_tiled
+
+                    stage1 = dense_to_band_tiled
                 if model == "tpu2" and use_pallas(dtype):
                     from svdsolver_tpu.ops.pallas.band_chase import (
                         band_to_bidiagonal_pallas,
                     )
 
                     stage2 = band_to_bidiagonal_pallas
-                t1 = benchmark(lambda A: dense_to_band(A, band=args.block), data)
-                banded = [dense_to_band(A, band=args.block) for A in data]
+                t1 = benchmark(lambda A: stage1(A, band=args.block), data)
+                banded = [stage1(A, band=args.block) for A in data]
                 t2 = benchmark(lambda A: stage2(A, band=args.block), banded)
                 print(
                     f"\tN = {n} : {t1:g} sec (dense -> band) | "

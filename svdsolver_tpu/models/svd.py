@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from svdsolver_tpu.models.golub_kahan import bidiagonalize_gk
 from svdsolver_tpu.models.blocked import bidiagonalize_blocked
 from svdsolver_tpu.models.two_stage import dense_to_band, band_to_bidiagonal
+from svdsolver_tpu.models.tiled import dense_to_band_tiled
 from svdsolver_tpu.models.diagonalize import bidiagonal_svdvals, bisect_svdvals
 
 
@@ -71,7 +72,12 @@ def bidiagonalize(A, method="tpu2", block=None):
         d, e = bidiagonalize_blocked(A, panel=block)
     elif method in ("multicore", "tpu1", "tpu2"):
         Ap, n = _pad_to_multiple(A, block)
-        Ab = dense_to_band(Ap, band=block)
+        if method == "multicore":
+            # the reference's tiled TS-QR schedule (brd_p1, svd_parallel.h)
+            Ab = dense_to_band_tiled(Ap, band=block)
+        else:
+            # the panel-sweep schedule of its CUDA drivers (cuda_brd_p1)
+            Ab = dense_to_band(Ap, band=block)
         if method == "tpu2" and use_pallas(A.dtype):
             # device-resident single-launch chase (the CUDA-2 analogue)
             from svdsolver_tpu.ops.pallas.band_chase import (

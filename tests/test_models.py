@@ -88,3 +88,27 @@ def test_two_stage_end_to_end(rng, n, b):
     A = jnp.asarray(rng.normal(size=(n, n)))
     d, e = bidiagonalize_two_stage(A, band=b)
     check_sigma(d, e, A)
+
+
+@pytest.mark.parametrize("n,b", [(32, 8), (64, 16)])
+def test_tiled_stage1(rng, n, b):
+    from svdsolver_tpu.models.tiled import dense_to_band_tiled
+
+    A = jnp.asarray(rng.normal(size=(n, n)))
+    Ab = np.asarray(dense_to_band_tiled(A, band=b))
+    i, j = np.ogrid[:n, :n]
+    outside = (j - i < 0) | (j - i > b)
+    np.testing.assert_allclose(Ab[outside], 0, atol=1e-9)
+    want = np.linalg.svd(np.asarray(A), compute_uv=False)
+    got = np.linalg.svd(Ab, compute_uv=False)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10 * want[0])
+
+
+def test_tiled_feeds_stage2(rng):
+    from svdsolver_tpu.models.tiled import dense_to_band_tiled
+
+    n, b = 48, 8
+    A = jnp.asarray(rng.normal(size=(n, n)))
+    Ab = dense_to_band_tiled(A, band=b)
+    d, e = band_to_bidiagonal(Ab, band=b)
+    check_sigma(d, e, A)
