@@ -47,6 +47,15 @@ def main():
     gflops = flops / t / 1e9
     print(f"times: {times}  gflops: {gflops:.1f}", file=sys.stderr)
 
+    # full-pipeline breakdown (flagship tpu2 path, auto band) to stderr
+    try:
+        from svdsolver_tpu.utils.profiling import stage_timings
+
+        st = stage_timings(A, method="tpu2")
+        print(f"full pipeline (tpu2, band={st['band']}): {st}", file=sys.stderr)
+    except Exception as exc:  # diagnostics only — never break the bench line
+        print(f"stage_timings failed: {exc}", file=sys.stderr)
+
     print(json.dumps({
         "metric": f"stage1_dense_to_band_N{N}_band{BAND}_fp32_wallclock",
         "value": round(t, 4),

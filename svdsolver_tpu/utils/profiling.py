@@ -1,0 +1,73 @@
+"""Tracing/profiling utilities.
+
+The reference has no profiling subsystem beyond chrono timers (SURVEY §5;
+its ``-lprofiler`` flag is commented out at CMakeLists.txt:15).  Here:
+
+* :func:`trace` — context manager around ``jax.profiler`` writing a
+  TensorBoard-loadable device trace;
+* :func:`stage_timings` — per-stage wall-clock breakdown of the full SVD
+  pipeline (with forced device sync — see utils/timing.sync).
+"""
+
+import contextlib
+import time
+
+import jax
+
+from svdsolver_tpu.utils.timing import sync
+
+
+@contextlib.contextmanager
+def trace(logdir="/tmp/svdsolver_trace"):
+    """Capture a device profiler trace: ``with trace('/tmp/t'): run()``."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def stage_timings(A, band=None, method="tpu2", diag="bisect", warmup=True):
+    """Per-stage seconds for the two-stage pipeline on ``A``; returns a dict.
+
+    Stages: dense->band, band->bidiagonal, diagonalization.  The first call
+    per shape compiles; ``warmup=True`` excludes compilation.
+    """
+    import jax.numpy as jnp
+
+    from svdsolver_tpu.models.svd import _auto_block, use_pallas
+    from svdsolver_tpu.models.two_stage import dense_to_band, band_to_bidiagonal
+    from svdsolver_tpu.models.diagonalize import bisect_svdvals, bidiagonal_svdvals
+
+    n = A.shape[0]
+    band = band or _auto_block(n)
+    pad = (-n) % band
+    if pad:
+        A = jnp.pad(A, ((0, pad), (0, pad)))
+
+    stage2 = band_to_bidiagonal
+    if method == "tpu2" and use_pallas(A.dtype):
+        from svdsolver_tpu.ops.pallas.band_chase import band_to_bidiagonal_pallas
+
+        stage2 = band_to_bidiagonal_pallas
+    solver = bidiagonal_svdvals if diag == "qr" else bisect_svdvals
+    if diag == "bisect" and method == "tpu2" and use_pallas(A.dtype):
+        from svdsolver_tpu.ops.pallas.bisect import bisect_svdvals_pallas
+
+        solver = bisect_svdvals_pallas
+
+    out = {}
+    if warmup:
+        sync(solver(*sync(stage2(sync(dense_to_band(A, band=band)), band=band))))
+    t0 = time.perf_counter()
+    Ab = sync(dense_to_band(A, band=band))
+    out["stage1_dense_to_band_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    d, e = sync(stage2(Ab, band=band))
+    out["stage2_band_to_bidiagonal_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sync(solver(d, e))
+    out["diagonalization_s"] = time.perf_counter() - t0
+    out["total_s"] = sum(out.values())
+    out["band"] = band
+    return out
