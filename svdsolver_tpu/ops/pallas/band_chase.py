@@ -43,24 +43,29 @@ def _dot(a, b):
 
 def _masked_pair_eliminate(W, ro, co, lp, b):
     """Both eliminations of one chase pair on buffer ``W``; pivot at dynamic
-    ``(ro, co)``, left-elimination pivot ``lp`` rows below (1 for the top
-    pair, ``b`` for chase pairs).
+    ``(ro, co)`` with ``ro < 8``, ``co < 128``; left-elimination pivot ``lp``
+    rows below (static: 1 for the top pair, ``b`` for chase pairs).
 
     Right: Householder of row ``ro`` over cols ``[co, co+b)``, applied to all
     rows.  Left: Householder of col ``co`` over rows ``[ro+lp, ro+lp+b)``,
     applied to all cols.  Rows/cols outside the logical window carry zeros in
-    the active ranges, so the full-buffer applies are exact.
+    the active ranges, so the applies are exact; since ``co + b < b + 128``
+    and ``ro + lp + b < lp + b + 8``, each elimination's reads/writes are
+    confined to a *static* subrange of the buffer, which roughly halves the
+    VPU traffic per pair.
     """
     wr, wc = W.shape
     dtype = W.dtype
     one = jnp.ones((), dtype)
     zero = jnp.zeros((), dtype)
-    ci = lax.broadcasted_iota(jnp.int32, (1, wc), 1)
-    ri = lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
 
-    # --- right elimination (row reflector) ---
+    # --- right elimination (row reflector): touches cols [0, b+128) only ---
+    CR = min(b + 128, wc)
+    Wr = W[:, :CR]
+    ci = lax.broadcasted_iota(jnp.int32, (1, CR), 1)
+    ri = lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
     rowmask = (ri == ro).astype(dtype)
-    xrow = _dot(rowmask.T, W)  # (1, wc): extract pivot row
+    xrow = _dot(rowmask.T, Wr)  # (1, CR): extract pivot row
     tail = jnp.logical_and(ci > co, ci < co + b)
     xt = jnp.where(tail, xrow, zero)
     pivot = jnp.sum(jnp.where(ci == co, xrow, zero))
@@ -73,33 +78,51 @@ def _masked_pair_eliminate(W, ro, co, lp, b):
     v = jnp.where(tail, xt / denom, zero) + jnp.where(ci == co, one, zero)
     safe_beta = jnp.where(beta == 0, one, beta)
     tau = jnp.where(trivial, zero, (beta - pivot) / safe_beta)
-    u = _dot(W, v.T)  # (wr, 1)
-    W = W - tau * _dot(u, v)
+    u = _dot(Wr, v.T)  # (wr, 1)
+    parts = [Wr - tau * _dot(u, v)] + ([W[:, CR:]] if CR < wc else [])
+    W = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
-    # --- left elimination (column reflector) ---
+    # --- left elimination (column reflector): rows [lp, lp+b+8) only ---
+    RL, RH = lp, min(lp + b + 8, wr)
+    Ws = W[RL:RH, :]
+    nr = RH - RL
+    ri2 = lax.broadcasted_iota(jnp.int32, (nr, 1), 0) + RL
     ro2 = ro + lp
-    colmask = (ci == co).astype(dtype)
-    xcol = _dot(W, colmask.T)  # (wr, 1): extract pivot column
-    tail2 = jnp.logical_and(ri > ro2, ri < ro2 + b)
+    # pivot column extraction needs cols [0, 128) only (co < 128)
+    ci2 = lax.broadcasted_iota(jnp.int32, (1, min(128, wc)), 1)
+    colmask = (ci2 == co).astype(dtype)
+    xcol = _dot(Ws[:, : min(128, wc)], colmask.T)  # (nr, 1)
+    tail2 = jnp.logical_and(ri2 > ro2, ri2 < ro2 + b)
     xt2 = jnp.where(tail2, xcol, zero)
-    pivot2 = jnp.sum(jnp.where(ri == ro2, xcol, zero))
+    pivot2 = jnp.sum(jnp.where(ri2 == ro2, xcol, zero))
     sigma2_2 = jnp.sum(xt2 * xt2)
     norm2 = jnp.sqrt(pivot2 * pivot2 + sigma2_2)
     sign2 = jnp.where(pivot2 >= 0, one, -one)
     beta2 = -sign2 * norm2
     trivial2 = sigma2_2 == 0
     denom2 = jnp.where(trivial2, one, pivot2 - beta2)
-    v2 = jnp.where(tail2, xt2 / denom2, zero) + jnp.where(ri == ro2, one, zero)
+    v2 = jnp.where(tail2, xt2 / denom2, zero) + jnp.where(ri2 == ro2, one, zero)
     safe_beta2 = jnp.where(beta2 == 0, one, beta2)
     tau2 = jnp.where(trivial2, zero, (beta2 - pivot2) / safe_beta2)
-    u2 = _dot(v2.T, W)  # (1, wc)
-    W = W - tau2 * _dot(v2, u2)
-    return W
+    u2 = _dot(v2.T, Ws)  # (1, wc)
+    parts = (
+        ([W[:RL, :]] if RL > 0 else [])
+        + [Ws - tau2 * _dot(v2, u2)]
+        + ([W[RH:, :]] if RH < wr else [])
+    )
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
-def _chase_kernel(n, b, A_in, A_out, W, sem_full, sem_w):
-    wr = 2 * b + 8
-    wc = -(-2 * b // 128) * 128 + 128  # superset width, 128-aligned
+def _chase_kernel(n, b, K, A_in, A_out, W, sem_full, sem_w):
+    """K-hop chase kernel: each DMA'd mega-window covers K consecutive chase
+    pairs, eliminated on aligned static sub-views — K-fold fewer DMA issues
+    (the dominant cost) for ~(K+1)/2K x the per-pair transfer volume.
+    ``K > 1`` requires ``b % 128 == 0`` so sub-view offsets m*b stay aligned.
+    """
+    wr = 2 * b + 8          # single-pair superset rows
+    wc = -(-2 * b // 128) * 128 + 128
+    mr = (K + 1) * b + 8    # mega-window rows
+    mc = -(-(K + 1) * b // 128) * 128 + 128
     w = b + 1
 
     # Bring the input band matrix into the (separately allocated) output.
@@ -107,43 +130,192 @@ def _chase_kernel(n, b, A_in, A_out, W, sem_full, sem_w):
     full.start()
     full.wait()
 
-    def do_pair(pr, pc, lp):
-        """DMA aligned superset of the window pivoted at (pr, pc), eliminate
-        with masked reflectors, DMA back."""
+    def do_top(pr, pc):
         r0 = (pr // 8) * 8
         c0 = (pc // 128) * 128
         cin = pltpu.make_async_copy(
-            A_out.at[pl.ds(r0, wr), pl.ds(c0, wc)], W, sem_w
+            A_out.at[pl.ds(r0, wr), pl.ds(c0, wc)], W.at[:wr, :wc], sem_w
         )
         cin.start()
         cin.wait()
-        W[:] = _masked_pair_eliminate(W[:], pr - r0, pc - c0, lp, b)
+        W[:wr, :wc] = _masked_pair_eliminate(
+            W[:wr, :wc], pr - r0, pc - c0, 1, b
+        )
         cout = pltpu.make_async_copy(
-            W, A_out.at[pl.ds(r0, wr), pl.ds(c0, wc)], sem_w
+            W.at[:wr, :wc], A_out.at[pl.ds(r0, wr), pl.ds(c0, wc)], sem_w
+        )
+        cout.start()
+        cout.wait()
+
+    def do_mega(pr, pc):
+        """K chase pairs pivoted at (pr + m*b, pc + m*b), one DMA round-trip.
+        Hops past the sweep's true chase count land in zero regions, where
+        the masked eliminations are exact no-ops."""
+        r0 = (pr // 8) * 8
+        c0 = (pc // 128) * 128
+        cin = pltpu.make_async_copy(
+            A_out.at[pl.ds(r0, mr), pl.ds(c0, mc)], W, sem_w
+        )
+        cin.start()
+        cin.wait()
+        ro = pr - r0
+        co = pc - c0
+        for m in range(K):
+            sub = W[m * b : m * b + wr, m * b : m * b + wc]
+            W[m * b : m * b + wr, m * b : m * b + wc] = (
+                _masked_pair_eliminate(sub, ro, co, b, b)
+            )
+        cout = pltpu.make_async_copy(
+            W, A_out.at[pl.ds(r0, mr), pl.ds(c0, mc)], sem_w
         )
         cout.start()
         cout.wait()
 
     def sweep(i, carry):
-        do_pair(i, i + 1, 1)  # top pair (band_rd_top)
+        do_top(i, i + 1)  # top pair (band_rd_top)
         n_chase = jnp.maximum(jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // b)) + 1
+        n_mega = -(-n_chase // K)
 
-        def chase(k, carry):
-            r = i + 1 + k * b
-            do_pair(r, r + b, b)
+        def chase(mk, carry):
+            r = i + 1 + mk * (K * b)
+            do_mega(r, r + b)
             return carry
 
-        return lax.fori_loop(jnp.int32(0), n_chase, chase, carry)
+        return lax.fori_loop(jnp.int32(0), n_mega, chase, carry)
 
     # int32 bounds: Pallas cannot lower the int64 indices x64 mode produces
     lax.fori_loop(jnp.int32(0), jnp.int32(n - 1), sweep, 0)
 
 
-def band_to_bidiagonal_pallas(A, band=128):
+def _wavefront_kernel(n, b, s_max, n_lanes, A_in, A_out, Wb, sem_full, sems):
+    """Pipelined-sweep chase: the wavefront schedule (sweep i's slot s at
+    tick 3i+s — see models/two_stage.band_to_bidiagonal_wavefront for the
+    disjointness proof) with one VMEM buffer per concurrent lane.  All lane
+    DMAs of a tick are issued before any is awaited, so HBM latency is paid
+    once per tick instead of once per elimination pair.
+
+    Lane 0 is the (at most one) top pair of the tick; lanes 1..n_lanes-1 are
+    chase pairs of the in-flight sweeps.  Inactive lanes are redirected to an
+    all-zero aligned dummy corner where the masked eliminations are exact
+    no-ops; overlapping *unmodified* superset cells are written back by
+    several lanes with identical (pre-tick) values, which is benign because
+    every cell is modified by at most one lane per tick.
+    """
+    wr = 2 * b + 8
+    wc = -(-2 * b // 128) * 128 + 128
+    w = b + 1
+    Np = A_out.shape[0]
+    dummy_r = jnp.int32(Np - wr)
+    dummy_c = jnp.int32(Np - wc)
+
+    full = pltpu.make_async_copy(A_in, A_out, sem_full)
+    full.start()
+    full.wait()
+
+    def lane_pos(t, j):
+        """(r0, c0, ro, co) for lane j at tick t (dummy when inactive)."""
+        if j == 0:
+            i0 = t // 3
+            ok = jnp.logical_and(t % 3 == 0, i0 <= n - 2)
+            pr, pc = i0, i0 + 1
+        else:
+            q = (t - 1) // 3
+            iv = q - (j - 1)
+            sv = t - 3 * iv
+            nch = (
+                jnp.maximum(
+                    jnp.int32(0), -(-(jnp.int32(n) - (iv + 2 * w - 1)) // b)
+                )
+                + 1
+            )
+            ok = (iv >= 0) & (iv <= n - 2) & (sv >= 1) & (sv <= nch)
+            pr = iv + 1 + (sv - 1) * b
+            pc = pr + b
+        r0 = jnp.where(ok, (pr // 8) * 8, dummy_r)
+        c0 = jnp.where(ok, (pc // 128) * 128, dummy_c)
+        ro = jnp.where(ok, pr - r0, 0)
+        co = jnp.where(ok, pc - c0, 0)
+        # the select obscures divisibility from Mosaic; both arms are aligned
+        return pl.multiple_of(r0, 8), pl.multiple_of(c0, 128), ro, co
+
+    def tick(t, carry):
+        pos = [lane_pos(t, j) for j in range(n_lanes)]
+        copies_in = [
+            pltpu.make_async_copy(
+                A_out.at[pl.ds(pos[j][0], wr), pl.ds(pos[j][1], wc)],
+                Wb.at[j],
+                sems.at[j],
+            )
+            for j in range(n_lanes)
+        ]
+        for cp in copies_in:
+            cp.start()
+        for cp in copies_in:
+            cp.wait()
+        for j in range(n_lanes):
+            lp = 1 if j == 0 else b
+            Wb[j] = _masked_pair_eliminate(Wb[j], pos[j][2], pos[j][3], lp, b)
+        copies_out = [
+            pltpu.make_async_copy(
+                Wb.at[j],
+                A_out.at[pl.ds(pos[j][0], wr), pl.ds(pos[j][1], wc)],
+                sems.at[j],
+            )
+            for j in range(n_lanes)
+        ]
+        for cp in copies_out:
+            cp.start()
+        for cp in copies_out:
+            cp.wait()
+        return carry
+
+    T = 3 * (n - 2) + s_max + 1
+    lax.fori_loop(jnp.int32(0), jnp.int32(T), tick, 0)
+
+
+def band_to_bidiagonal_pallas(A, band=128, wavefront=True):
     # x64 mode sends the trace into an int-promotion recursion inside Mosaic
     # lowering; the kernel is 32-bit only, so trace it with x64 off.
     with jax.enable_x64(False):
+        if wavefront:
+            return _band_to_bidiagonal_pallas_wf(A, band=band)
         return _band_to_bidiagonal_pallas(A, band=band)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def _band_to_bidiagonal_pallas_wf(A, band=128):
+    """Wavefront-pipelined Pallas chase; fp32, returns (d, e)."""
+    n = A.shape[0]
+    b = int(band)
+    dtype = A.dtype
+    if n < 2:
+        return jnp.abs(jnp.diag(A)), jnp.zeros((0,), dtype)
+    if b % 8 != 0:
+        raise ValueError(f"band={b} must be a multiple of 8")
+    w = b + 1
+    wr = 2 * b + 8
+    wc = -(-2 * b // 128) * 128 + 128
+    s_max = max(0, -(-(n - (2 * w - 1)) // b)) + 1
+    n_lanes = (s_max + 2) // 3 + 2  # chase lanes + the top lane
+    # pad so genuine windows fit and Np is 128-aligned (aligned dummy corner)
+    base_pad = b + wc + 80
+    Np = -(-(n + base_pad) // 128) * 128
+    Ap = jnp.pad(A, ((0, Np - n), (0, Np - n)))
+
+    out = pl.pallas_call(
+        functools.partial(_wavefront_kernel, n, b, s_max, n_lanes),
+        out_shape=jax.ShapeDtypeStruct((Np, Np), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((n_lanes, wr, wc), dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((n_lanes,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(Ap)
+    B = out[:n, :n]
+    return jnp.diag(B), jnp.diag(B, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("band",))
@@ -164,19 +336,21 @@ def _band_to_bidiagonal_pallas(A, band=128):
             f"band={b} must be a multiple of 8; use "
             "models.two_stage.band_to_bidiagonal otherwise"
         )
-    wc = -(-2 * b // 128) * 128 + 128
-    # Padding: max col window end = c_max + wc <= n + b - 1 + wc.
-    pad = b + wc + 16
+    K = 1  # measured: K=3 mega-windows cost more VMEM RMW than they save in DMA
+    mr = (K + 1) * b + 8
+    mc = -(-(K + 1) * b // 128) * 128 + 128
+    # Padding: max col window end = c_max + mc <= n + b - 1 + mc.
+    pad = b + mc + 16
     Ap = jnp.pad(A, ((0, pad), (0, pad)))
     Np = n + pad
 
     out = pl.pallas_call(
-        functools.partial(_chase_kernel, n, b),
+        functools.partial(_chase_kernel, n, b, K),
         out_shape=jax.ShapeDtypeStruct((Np, Np), dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2 * b + 8, wc), dtype),
+            pltpu.VMEM((mr, mc), dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

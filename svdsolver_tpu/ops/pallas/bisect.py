@@ -33,22 +33,41 @@ def _bisect_kernel(n, n2, iters, z2_ref, bound_ref, out_ref):
     lo0 = jnp.zeros((1, npad), dtype)
     hi0 = jnp.full((1, npad), bound, dtype)
 
+    # The pivot recurrence consumes z^2[0 .. n2-2] one scalar per step.  To
+    # keep every read static/aligned: 128-wide aligned blocks are sliced from
+    # the ref, and within a block 8 scalars are read at static lanes [0..8)
+    # between cheap (1, 128) rotates.  Steps beyond n2-2 are masked out of
+    # the count (their p updates are harmless).
+    n_blocks = (n2 - 1 + 127) // 128
+
     def biter(_, lohi):
         lo, hi = lohi
         lam = 0.5 * (lo + hi)
-        p = -lam
-        cnt = (p < 0).astype(jnp.int32)
-        z = z2_ref[:]
+        p0 = -lam
+        cnt0 = (p0 < 0).astype(jnp.int32)
 
-        def step(i, carry):
-            p, cnt, z = carry
-            p = -lam - z[0, 0] / p
-            cnt = cnt + (p < 0)
-            # rotate left by one lane (shift must be non-negative)
-            z = pltpu.roll(z, z.shape[1] - 1, 1)
-            return p, cnt, z
+        def block(jb, carry):
+            p, cnt = carry
+            zb = z2_ref[0:1, pl.ds(pl.multiple_of(jb * 128, 128), 128)]
 
-        _, cnt, _ = lax.fori_loop(jnp.int32(1), jnp.int32(n2), step, (p, cnt, z))
+            def sub(m8, carry2):
+                p, cnt, zb = carry2
+                base = jb * 128 + m8 * 8
+                for m in range(8):  # static unroll: zb lane m is static
+                    p = -lam - zb[0, m] / p
+                    live = jnp.logical_and(p < 0, base + m <= n2 - 2)
+                    cnt = cnt + live
+                zb = pltpu.roll(zb, 120, 1)  # rotate left by 8 lanes
+                return p, cnt, zb
+
+            p, cnt, _ = lax.fori_loop(
+                jnp.int32(0), jnp.int32(16), sub, (p, cnt, zb)
+            )
+            return p, cnt
+
+        _, cnt = lax.fori_loop(
+            jnp.int32(0), jnp.int32(n_blocks), block, (p0, cnt0)
+        )
         above = (cnt - n) > ks
         lo = jnp.where(above, lo, lam)
         hi = jnp.where(above, lam, hi)
