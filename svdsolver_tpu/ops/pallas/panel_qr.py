@@ -1,0 +1,171 @@
+"""Pallas kernel: compact-WY panel QR factorization.
+
+Stage I's inner loop — b sequential Householder columns per panel — is the
+serial bottleneck the reference's CUDA-2 attacked by keeping tau device-side
+(hh_kernel, svd_cuda_2.cu:220).  Here the *entire* panel factorization runs
+in one kernel: the panel lives transposed in VMEM (columns = buffer rows, so
+the sequential column loop indexes the sublane axis), reflectors/taus never
+leave the chip, and the compact-WY T factor accumulates in VMEM alongside.
+
+Outputs (R, V, T) feed the XLA trailing update
+``A <- A - V T^T (V^T A)`` (MXU GEMMs) exactly as the XLA panel path does —
+differential-tested against models/two_stage._panel_qr_step.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dot(a, b):
+    return jnp.matmul(
+        a, b, precision=lax.Precision.HIGHEST, preferred_element_type=a.dtype
+    )
+
+
+def _panel_kernel(b, m, roff_ref, Pt_in, Rt, Vt, Tt):
+    """Factor the (b, m) transposed panel: column j of the panel is buffer
+    row j; its pivot sits at lane ``roff + j``.
+
+    Rt doubles as the working panel buffer (finalized in place); Vt holds
+    the transposed reflectors; Tt is T^T (larft accumulated transposed so
+    per-column writes are row writes).  Row extraction and the Vt row write
+    use 8-aligned (8, m) blocks — the only dynamic sublane offsets Mosaic
+    accepts — with an 8-row mask select, keeping per-column traffic at
+    ~3 full-panel passes.
+    """
+    dtype = Pt_in.dtype
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+    roff = roff_ref[0, 0]
+    rows = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    rows8 = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    bcols = lax.broadcasted_iota(jnp.int32, (1, b), 1)
+
+    Rt[:] = Pt_in[:]  # working copy of the panel (becomes R)
+    Vt[:] = jnp.zeros((b, m), dtype)
+    Tt[:] = jnp.zeros((b, b), dtype)
+
+    def col(j, carry):
+        # extract panel column j (buffer row j) from its aligned 8-row block
+        j8 = pl.multiple_of((j // 8) * 8, 8)
+        blk = Rt[pl.ds(j8, 8), :]
+        x = jnp.sum(
+            jnp.where(rows8 == j - j8, blk, zero), axis=0, keepdims=True
+        )  # (1, m)
+        p = roff + j
+        tail = cols > p
+        xt = jnp.where(tail, x, zero)
+        pivot = jnp.sum(jnp.where(cols == p, x, zero))
+        sigma2 = jnp.sum(xt * xt)
+        norm = jnp.sqrt(pivot * pivot + sigma2)
+        sign = jnp.where(pivot >= 0, one, -one)
+        beta = -sign * norm
+        trivial = sigma2 == 0
+        denom = jnp.where(trivial, one, pivot - beta)
+        v = jnp.where(tail, xt / denom, zero) + jnp.where(cols == p, one, zero)
+        safe_beta = jnp.where(beta == 0, one, beta)
+        tau = jnp.where(trivial, zero, (beta - pivot) / safe_beta)
+        # apply H to the whole panel: finished rows (< j) have zeros in v's
+        # support so they are no-ops, and row j finalizes to its R row
+        u = _dot(Rt[:], v.T)  # (b, 1)
+        Rt[:] = Rt[:] - tau * _dot(u, v)
+        # larft (transposed): Tt[j, :] = -tau * w^T Tt + tau * e_j
+        w = _dot(Vt[:], v.T)  # (b, 1); rows >= j are still zero
+        t_row = -tau * _dot(w.T, Tt[:]) + jnp.where(
+            bcols == j, tau, zero
+        )
+        Tt[:] = jnp.where(rows == j, t_row, Tt[:])
+        # Vt row j write via its aligned 8-row block
+        vblk = Vt[pl.ds(j8, 8), :]
+        Vt[pl.ds(j8, 8), :] = jnp.where(rows8 == j - j8, v, vblk)
+        return carry
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(b), col, 0)
+    # R: the fully-applied panel with exact zeros beyond each pivot
+    Rt[:] = jnp.where(cols > roff + rows, zero, Rt[:])
+
+
+def panel_qr_pallas(A_panel_t, r_off, band):
+    """Factor a transposed panel (b, m); returns (R_t, V_t, T_t).
+
+    ``A_panel_t[j]`` is panel column j; pivots at ``r_off + j``.
+    """
+    with jax.enable_x64(False):
+        return _panel_qr_pallas(
+            A_panel_t, jnp.asarray(r_off, jnp.int32), band
+        )
+
+
+def dense_to_band_pallas(A, band=128):
+    """Stage I with Pallas panel factorizations + XLA MXU trailing updates.
+
+    Same schedule/output class as models/two_stage.dense_to_band; the panel
+    inner loops run on-chip instead of as ~2n XLA loop iterations.  fp32/TPU.
+    """
+    with jax.enable_x64(False):
+        return _dense_to_band_pallas(A, band=band)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def _dense_to_band_pallas(A, band=128):
+    from svdsolver_tpu.ops.precision import pdot
+
+    n = A.shape[0]
+    b = int(band)
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("dense_to_band_pallas expects a square matrix")
+    if n % b != 0:
+        raise ValueError(f"n={n} must be divisible by band={b}")
+
+    def step(k, A):
+        c = k * b
+        # QR panel on columns [c, c+b)
+        Pt = lax.dynamic_slice(A, (0, c), (n, b)).T
+        Rt, Vt, Tt = _panel_qr_pallas(Pt, c, b)
+        W = pdot(Vt, A)  # (b, n)
+        A = A - pdot(Vt.T, pdot(Tt, W))  # Tt = T^T: A - V T^T V^T A
+        A = lax.dynamic_update_slice(A, Rt.T, (0, c))
+        # LQ panel on rows [c, c+b), pivots at the band offset c+b
+        Sl = lax.dynamic_slice(A, (c, 0), (b, n))
+        Rt2, Vt2, Tt2 = _panel_qr_pallas(Sl, c + b, b)
+        # right update: A <- A (I - V T V^T)  with V = Vt2^T, T^T = Tt2
+        AV = pdot(A, Vt2.T)  # (n, b)
+        A = A - pdot(pdot(AV, Tt2.T), Vt2)
+        A = lax.dynamic_update_slice(A, Rt2, (c, 0))
+        return A
+
+    return lax.fori_loop(0, n // b, step, A)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def _panel_qr_pallas(A_panel_t, r_off, band):
+    b = int(band)
+    m = A_panel_t.shape[1]
+    dtype = A_panel_t.dtype
+    assert A_panel_t.shape[0] == b
+    return pl.pallas_call(
+        functools.partial(_panel_kernel, b, m),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m), dtype),
+            jax.ShapeDtypeStruct((b, m), dtype),
+            jax.ShapeDtypeStruct((b, b), dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(jnp.reshape(r_off, (1, 1)), A_panel_t)

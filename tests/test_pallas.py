@@ -56,6 +56,45 @@ def test_pallas_bisect_matches_xla(rng, n):
     np.testing.assert_array_equal(s, s_ref)
 
 
+def test_pallas_panel_qr_matches_xla(rng):
+    from svdsolver_tpu.ops.pallas.panel_qr import _panel_qr_pallas
+    from svdsolver_tpu.ops.householder import householder_vector
+
+    m, b, roff = 32, 8, 4
+    A = jnp.asarray(rng.normal(size=(m, b)).astype(np.float32))
+    P = A
+    V = jnp.zeros((m, b), jnp.float32)
+    T = jnp.zeros((b, b), jnp.float32)
+    ridx = jnp.arange(m)
+    for j in range(b):
+        p = roff + j
+        v, tau, beta = householder_vector(P[:, j], p)
+        P = P - tau * jnp.outer(v, v @ P)
+        colj = jnp.where(ridx > p, 0.0, P[:, j]).at[p].set(beta)
+        P = P.at[:, j].set(colj)
+        w = V.T @ v
+        T = T.at[:, j].set(-tau * (T @ w)).at[j, j].set(tau)
+        V = V.at[:, j].set(v)
+    Rt, Vt, Tt = _panel_qr_pallas(A.T, jnp.int32(roff), b)
+    np.testing.assert_allclose(np.asarray(Rt.T), np.asarray(P), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Vt.T), np.asarray(V), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(Tt.T), np.asarray(T), atol=2e-6)
+
+
+@pytest.mark.parametrize("n,b", [(64, 8), (96, 16)])
+def test_pallas_dense_to_band(rng, n, b):
+    from svdsolver_tpu.ops.pallas.panel_qr import dense_to_band_pallas
+
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ab = np.asarray(dense_to_band_pallas(A, band=b))
+    i, j = np.ogrid[:n, :n]
+    outside = (j - i < 0) | (j - i > b)
+    np.testing.assert_allclose(Ab[outside], 0, atol=1e-6)
+    want = np.linalg.svd(np.asarray(A).astype(np.float64), compute_uv=False)
+    got = np.linalg.svd(Ab.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5 * want[0])
+
+
 def test_pallas_end_to_end_svdvals(rng):
     from svdsolver_tpu.models.svd import svdvals
 
