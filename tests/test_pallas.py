@@ -57,7 +57,7 @@ def test_pallas_bisect_matches_xla(rng, n):
 
 
 def test_pallas_panel_qr_matches_xla(rng):
-    from svdsolver_tpu.ops.pallas.panel_qr import _panel_qr_pallas
+    from svdsolver_tpu.ops.pallas.panel_qr import panel_qr_pallas
     from svdsolver_tpu.ops.householder import householder_vector
 
     m, b, roff = 32, 8, 4
@@ -75,7 +75,7 @@ def test_pallas_panel_qr_matches_xla(rng):
         w = V.T @ v
         T = T.at[:, j].set(-tau * (T @ w)).at[j, j].set(tau)
         V = V.at[:, j].set(v)
-    Rt, Vt, Tt = _panel_qr_pallas(A.T, jnp.int32(roff), b)
+    Rt, Vt, Tt = panel_qr_pallas(A.T, roff, b)
     np.testing.assert_allclose(np.asarray(Rt.T), np.asarray(P), atol=2e-5)
     np.testing.assert_allclose(np.asarray(Vt.T), np.asarray(V), atol=2e-6)
     np.testing.assert_allclose(np.asarray(Tt.T), np.asarray(T), atol=2e-6)
