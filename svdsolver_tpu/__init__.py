@@ -36,7 +36,7 @@ from svdsolver_tpu.models.diagonalize import (
     bisect_svdvals,
     convergence_threshold,
 )
-from svdsolver_tpu.models.svd import svdvals, Bidiagonal
+from svdsolver_tpu.models.svd import svdvals, svdvals_batch, Bidiagonal
 
 __version__ = "0.1.0"
 
@@ -57,5 +57,6 @@ __all__ = [
     "bisect_svdvals",
     "convergence_threshold",
     "svdvals",
+    "svdvals_batch",
     "Bidiagonal",
 ]

@@ -111,3 +111,22 @@ def svdvals(A, method="tpu2", block=None, diag="bisect"):
     elif diag == "qr":
         return bidiagonal_svdvals(B.d, B.e)[:n]
     raise ValueError(f"unknown diag {diag!r}; 'bisect' or 'qr'")
+
+
+def svdvals_batch(As, block=None):
+    """Singular values of a batch of square matrices: (B, n, n) -> (B, n).
+
+    Single-device batched execution (vmapped two-stage + bisection); for
+    multi-chip sharded batches use parallel.distributed.svdvals_batch_sharded.
+    """
+    n = As.shape[-1]
+    if block is None:
+        block = _auto_block(n)
+
+    def one(A):
+        Ap, _ = _pad_to_multiple(A, block)
+        Ab = dense_to_band(Ap, band=block)
+        d, e = band_to_bidiagonal(Ab, band=block)
+        return bisect_svdvals(d, e)[:n]
+
+    return jax.vmap(one)(As)

@@ -114,6 +114,15 @@ def test_full_svdvals_pipeline(rng, method):
     np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9 * want[0])
 
 
+def test_svdvals_batch(rng):
+    from svdsolver_tpu.models.svd import svdvals_batch
+
+    As = jnp.asarray(rng.normal(size=(3, 24, 24)).astype(np.float32))
+    got = np.asarray(svdvals_batch(As, block=8))
+    want = np.linalg.svd(np.asarray(As, np.float64), compute_uv=False)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5 * want.max())
+
+
 def test_full_svdvals_padding(rng):
     # n not divisible by block exercises the padding path
     A = jnp.asarray(rng.normal(size=(30, 30)))
