@@ -273,7 +273,7 @@ def _wavefront_kernel(n, b, s_max, n_lanes, A_in, A_out, Wb, sem_full, sems):
     lax.fori_loop(jnp.int32(0), jnp.int32(T), tick, 0)
 
 
-def band_to_bidiagonal_pallas(A, band=128, wavefront=True):
+def band_to_bidiagonal_pallas(A, band=128, wavefront=False):
     # x64 mode sends the trace into an int-promotion recursion inside Mosaic
     # lowering; the kernel is 32-bit only, so trace it with x64 off.
     with jax.enable_x64(False):

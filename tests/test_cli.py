@@ -1,0 +1,46 @@
+"""CLI driver tests: bench and check modes end-to-end at tiny sizes."""
+
+import os
+
+import numpy as np
+import pytest
+
+from svdsolver_tpu.cli import main
+from svdsolver_tpu.utils.fixtures import REPO_DATA
+
+
+def test_bench_base_writes_csv(tmp_path):
+    out = tmp_path / "base.csv"
+    rc = main(["bench", "base", "8", "3", "1", "--output", str(out)])
+    assert rc == 0
+    lines = out.read_text().strip().split("\n")
+    assert lines[0].replace(" ", "") == "8,16"
+    assert len(lines[1].split(",")) == 2
+
+
+def test_bench_two_stage_writes_three_lines(tmp_path):
+    out = tmp_path / "mc.csv"
+    rc = main(["bench", "multicore", "16", "2", "1", "8", "--output", str(out)])
+    assert rc == 0
+    lines = out.read_text().strip().split("\n")
+    assert len(lines) == 3  # sizes / stage1 / stage2 (reference schema)
+
+
+def test_bench_diagonal_qr(tmp_path):
+    out = tmp_path / "diag.csv"
+    rc = main(["bench", "diagonal", "16", "2", "1", "--diag", "qr",
+               "--output", str(out)])
+    assert rc == 0
+    assert out.exists()
+
+
+def test_bench_rejects_unknown_model():
+    with pytest.raises(SystemExit):
+        main(["bench", "nosuch", "8", "2", "1"])
+
+
+def test_check_64():
+    if not os.path.exists(os.path.join(REPO_DATA, "test_float_64_64.bin")):
+        pytest.skip("fixtures not present")
+    rc = main(["check", "64"])
+    assert rc == 0
