@@ -94,13 +94,23 @@ def bidiagonalize(A, method="tpu2", block=None):
 
 
 def svdvals(A, method="tpu2", block=None, diag="bisect"):
-    """Singular values of square ``A``, sorted descending.
+    """Singular values of ``A`` (any shape), sorted descending.
 
     End-to-end: bidiagonalize with the chosen model, then diagonalize.
     ``diag``: 'bisect' (default — TPU-native parallel bisection) or 'qr'
     (the reference's implicit-shift QR with deflation, svd_serial.h:368).
+
+    Rectangular inputs are first reduced to a square triangular factor by a
+    one-sided QR/LQ (sigma-preserving), then run through the square pipeline
+    — the standard tall-matrix preprocessing the reference lacks (its
+    two-stage models require square inputs).
     """
-    n = A.shape[0]
+    m, n = A.shape
+    if m != n:
+        if m < n:
+            A = A.T
+            m, n = n, m
+        A = jnp.linalg.qr(A, mode="r")[:n, :n]
     B = bidiagonalize(A, method=method, block=block)
     if diag == "bisect":
         if method == "tpu2" and use_pallas(A.dtype):

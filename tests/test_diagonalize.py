@@ -114,6 +114,14 @@ def test_full_svdvals_pipeline(rng, method):
     np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9 * want[0])
 
 
+@pytest.mark.parametrize("shape", [(48, 20), (20, 48)])
+def test_svdvals_rectangular(rng, shape):
+    A = jnp.asarray(rng.normal(size=shape))
+    want = np.linalg.svd(np.asarray(A), compute_uv=False)
+    got = np.asarray(svdvals(A, method="tpu2", block=8))
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9 * want[0])
+
+
 def test_svdvals_batch(rng):
     from svdsolver_tpu.models.svd import svdvals_batch
 
