@@ -1,0 +1,81 @@
+"""Robustness: degenerate and adversarial inputs through the full pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from svdsolver_tpu.models.svd import svdvals
+
+
+def check(A, rtol=1e-7, **kw):
+    want = np.linalg.svd(np.asarray(A, np.float64), compute_uv=False)
+    got = np.asarray(svdvals(jnp.asarray(A), **kw))
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=1e-9 * max(want[0], 1))
+
+
+def test_zero_matrix():
+    A = np.zeros((24, 24))
+    got = np.asarray(svdvals(jnp.asarray(A), block=8))
+    np.testing.assert_array_equal(got, np.zeros(24))
+
+
+def test_identity():
+    check(np.eye(24), block=8)
+
+
+def test_rank_one(rng):
+    u = rng.normal(size=(24, 1))
+    v = rng.normal(size=(1, 24))
+    check(u @ v, block=8)
+
+
+def test_rank_deficient(rng):
+    A = rng.normal(size=(32, 5)) @ rng.normal(size=(5, 32))
+    check(A, block=8)
+
+
+def test_duplicate_singular_values(rng):
+    # orthogonal * diag(repeated) * orthogonal
+    q1, _ = np.linalg.qr(rng.normal(size=(24, 24)))
+    q2, _ = np.linalg.qr(rng.normal(size=(24, 24)))
+    s = np.repeat([5.0, 3.0, 1.0, 1e-6], 6)
+    check(q1 @ np.diag(s) @ q2, block=8)
+
+
+def test_wide_dynamic_range(rng):
+    q1, _ = np.linalg.qr(rng.normal(size=(24, 24)))
+    q2, _ = np.linalg.qr(rng.normal(size=(24, 24)))
+    s = np.logspace(8, -8, 24)
+    A = q1 @ np.diag(s) @ q2
+    want = s
+    got = np.asarray(svdvals(jnp.asarray(A), block=8))
+    # absolute accuracy relative to sigma_max (fp arithmetic limit)
+    np.testing.assert_allclose(got, want, atol=1e-12 * s[0], rtol=1e-8)
+
+
+def test_already_bidiagonal(rng):
+    A = np.diag(rng.normal(size=16)) + np.diag(rng.normal(size=15), 1)
+    check(A, block=8)
+
+
+def test_diagonal_matrix(rng):
+    check(np.diag(rng.normal(size=24)), block=8)
+
+
+def test_tiny_sizes(rng):
+    for n in (1, 2, 3):
+        A = rng.normal(size=(n, n))
+        want = np.linalg.svd(A, compute_uv=False)
+        got = np.asarray(svdvals(jnp.asarray(A), method="base"))
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_entry_point_compiles():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = np.asarray(jax.jit(fn)(*args))
+    assert out.shape == (args[0].shape[0],)
+    assert np.all(np.isfinite(out))
+    assert np.all(np.diff(out) <= 0)  # descending
