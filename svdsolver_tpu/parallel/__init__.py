@@ -11,6 +11,7 @@ from svdsolver_tpu.parallel.mesh import make_mesh
 from svdsolver_tpu.parallel.distributed import (
     svdvals_batch_sharded,
     dense_to_band_sharded,
+    dense_to_band_shardmap,
     dryrun,
 )
 
@@ -18,5 +19,6 @@ __all__ = [
     "make_mesh",
     "svdvals_batch_sharded",
     "dense_to_band_sharded",
+    "dense_to_band_shardmap",
     "dryrun",
 ]

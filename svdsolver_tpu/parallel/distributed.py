@@ -18,7 +18,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
+
+from svdsolver_tpu.ops.householder import householder_vector
+from svdsolver_tpu.ops.precision import pdot
 
 from svdsolver_tpu.models.two_stage import dense_to_band, band_to_bidiagonal
 from svdsolver_tpu.models.diagonalize import bisect_svdvals
@@ -60,6 +64,109 @@ def svdvals_batch_sharded(As, mesh, band=32):
     return _svdvals_batch(As, mesh, band)
 
 
+def dense_to_band_shardmap(A, mesh, band=32):
+    """Stage I with explicit collectives: ``shard_map`` over the ``tp`` axis.
+
+    Layout: ``A`` column-sharded — each device holds an (n, n/P) block.  Per
+    panel step:
+
+    * QR panel: the owner's columns are broadcast by a ``psum`` of masked
+      local contributions; every device factors the (replicated) panel
+      redundantly (O(n b^2) — cheap vs the trailing update), then applies
+      the block reflector to its local columns with **zero** communication
+      (``W_loc = V^T A_loc`` is column-local).
+    * LQ panel: the (b, n) row slab is assembled the same way (psum of
+      masked slices along the column axis); the right update needs one
+      ``psum`` for ``A V`` (a row-sharded x column-sharded contraction),
+      then applies locally.
+
+    Three (n x b)-sized collectives per panel step, all riding ICI — the
+    hand-placed version of what GSPMD inserts for the jit path.  Exactly
+    the panel-sweep schedule of models/two_stage.dense_to_band.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n = A.shape[0]
+    b = int(band)
+    n_dev = mesh.shape["tp"]
+    if n % b != 0 or n % n_dev != 0:
+        raise ValueError(f"n={n} must divide by band={b} and tp={n_dev}")
+    n_loc = n // n_dev
+    dtype = A.dtype
+
+    def body(A_loc):  # (n, n_loc) per device
+        t = jax.lax.axis_index("tp")
+        col0 = t * n_loc  # global index of this device's first column
+
+        def panel_qr_local(P_panel, r_off):
+            """Replicated compact-WY panel factorization (b columns)."""
+            V = jnp.zeros((n, b), dtype)
+            T = jnp.zeros((b, b), dtype)
+            ridx = jnp.arange(n)
+
+            def col(j, carry):
+                Pp, V, T = carry
+                p = r_off + j
+                v, tau, beta = householder_vector(Pp[:, j], p)
+                Pp = Pp - tau * jnp.outer(v, pdot(v, Pp))
+                colj = jnp.where(ridx > p, jnp.zeros((), dtype), Pp[:, j])
+                pc = jnp.minimum(p, n - 1)
+                colj = colj.at[pc].set(jnp.where(p < n, beta, colj[pc]))
+                Pp = Pp.at[:, j].set(colj)
+                w = pdot(V.T, v)
+                T = T.at[:, j].set(-tau * pdot(T, w)).at[j, j].set(tau)
+                V = V.at[:, j].set(v)
+                return Pp, V, T
+
+            return lax.fori_loop(0, b, col, (P_panel, V, T))
+
+        def step(k, A_loc):
+            c = k * b
+            # --- QR: broadcast the owner's panel columns ---
+            lidx = jnp.arange(n_loc) + col0  # global indices of local cols
+            own = jnp.logical_and(lidx >= c, lidx < c + b)
+            contrib = jnp.where(own[None, :], A_loc, jnp.zeros((), dtype))
+            # scatter local columns into panel slots, then sum across devices
+            slot = jnp.clip(lidx - c, 0, b - 1)
+            panel_part = jnp.zeros((n, b), dtype).at[:, slot].add(
+                jnp.where(own[None, :], contrib, 0.0)
+            )
+            panel = jax.lax.psum(panel_part, "tp")  # replicated (n, b)
+            R, V, T = panel_qr_local(panel, c)
+            # local trailing update (no comm: columns are local)
+            W = pdot(V.T, A_loc)
+            A_loc = A_loc - pdot(V, pdot(T.T, W))
+            # owner writes R back into its columns
+            Rcols = R[:, slot]
+            A_loc = jnp.where(own[None, :], Rcols, A_loc)
+
+            # --- LQ: assemble the (b, n) row slab, factor on transpose ---
+            slab_loc = lax.dynamic_slice(A_loc, (c, jnp.zeros((), jnp.asarray(c).dtype)), (b, n_loc))
+            slab = jax.lax.all_gather(slab_loc, "tp", axis=1, tiled=True)
+            Rl, Vl, Tl = panel_qr_local(slab.T, c + b)  # V (n, b) row space
+            # right update: A V needs a psum over column shards
+            zero = jnp.zeros((), col0.dtype)
+            Vl_loc = lax.dynamic_slice(Vl, (col0, zero), (n_loc, b))
+            AV_part = pdot(A_loc, Vl_loc)
+            AV = jax.lax.psum(AV_part, "tp")  # (n, b) replicated
+            A_loc = A_loc - pdot(pdot(AV, Tl), Vl_loc.T)
+            # write the factored rows back (local slice of R^T)
+            Rrows = lax.dynamic_slice(Rl.T, (zero, col0), (b, n_loc))
+            A_loc = lax.dynamic_update_slice(A_loc, Rrows, (c, 0))
+            return A_loc
+
+        return lax.fori_loop(0, n // b, step, A_loc)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(None, "tp"),
+        out_specs=P(None, "tp"),
+        check_rep=False,
+    )
+    return fn(A)
+
+
 def dryrun(n_devices: int) -> None:
     """Compile + execute one fully-sharded step on tiny shapes.
 
@@ -74,6 +181,13 @@ def dryrun(n_devices: int) -> None:
     batch = 2 * mesh.shape["dp"]
     n, band = 32, 8
     rng = np.random.default_rng(0)
+    # explicit-collective Stage I (shard_map psum/all_gather over tp)
+    A0 = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ab = jax.block_until_ready(dense_to_band_shardmap(A0, mesh, band=band))
+    s_band = np.linalg.svd(np.asarray(Ab, np.float64), compute_uv=False)
+    s_ref = np.linalg.svd(np.asarray(A0, np.float64), compute_uv=False)
+    assert np.max(np.abs(s_band - s_ref)) / s_ref[0] < 1e-4, "shard_map stage I"
+    # GSPMD batch path (dp x tp shardings under jit)
     As = jnp.asarray(rng.uniform(0.0, 5.0, (batch, n, n)).astype(np.float32))
     sig = jax.block_until_ready(svdvals_batch_sharded(As, mesh, band=band))
     assert sig.shape == (batch, n), sig.shape

@@ -30,6 +30,21 @@ def test_batch_sharded_svdvals(cpu_mesh, rng):
     assert err < 1e-4, err
 
 
+def test_shardmap_stage1_matches_single_device(rng):
+    from svdsolver_tpu.parallel.distributed import dense_to_band_shardmap
+    from svdsolver_tpu.models.two_stage import dense_to_band
+
+    mesh = make_mesh(4, dp=1, platform="cpu")
+    n, b = 64, 16
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ab_ref = np.asarray(dense_to_band(A, band=b))
+    Ab = np.asarray(dense_to_band_shardmap(A, mesh, band=b))
+    np.testing.assert_allclose(Ab, Ab_ref, atol=5e-4)
+    want = np.linalg.svd(np.asarray(A, np.float64), compute_uv=False)
+    got = np.linalg.svd(Ab.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5 * want[0])
+
+
 def test_dryrun_entrypoint():
     import __graft_entry__ as g
 
