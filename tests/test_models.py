@@ -104,6 +104,18 @@ def test_tiled_stage1(rng, n, b):
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10 * want[0])
 
 
+def test_wavefront_matches_sequential_exactly(rng):
+    from svdsolver_tpu.models.two_stage import band_to_bidiagonal_wavefront
+
+    n, b = 48, 8
+    A = jnp.asarray(rng.normal(size=(n, n)))  # f64: schedules agree bitwise
+    Ab = dense_to_band(A, band=b)
+    d1, e1 = band_to_bidiagonal(Ab, band=b)
+    d2, e2 = band_to_bidiagonal_wavefront(Ab, band=b)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
 def test_tiled_feeds_stage2(rng):
     from svdsolver_tpu.models.tiled import dense_to_band_tiled
 

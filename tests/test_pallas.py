@@ -41,6 +41,17 @@ def test_pallas_chase_matches_xla_leading(rng):
     )
 
 
+def test_pallas_chase_wavefront_sigma(rng):
+    n, b = 96, 16
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ab = dense_to_band(A, band=b)
+    d, e = band_to_bidiagonal_pallas(Ab, band=b, wavefront=True)
+    B = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+    want = np.linalg.svd(np.asarray(A).astype(np.float64), compute_uv=False)
+    got = np.linalg.svd(B.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5 * want[0])
+
+
 def test_pallas_chase_rejects_bad_band(rng):
     A = jnp.asarray(rng.normal(size=(20, 20)).astype(np.float32))
     with pytest.raises(ValueError):
