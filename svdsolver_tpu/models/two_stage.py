@@ -61,7 +61,7 @@ def _panel_qr_step(A, c0, r_off, b):
         V = V.at[:, j].set(v)
         return P, V, T
 
-    P, V, T = lax.fori_loop(0, b, col_body, (P0, V0, T0))
+    P, V, T = lax.fori_loop(0, b, col_body, (P0, V0, T0), unroll=4)
     # Trailing update A <- (I - V T V^T)^T A; columns left of the panel are
     # zero under V's row support (already reduced), the panel itself is
     # overwritten with its factored form below.
