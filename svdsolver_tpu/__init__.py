@@ -37,6 +37,7 @@ from svdsolver_tpu.models.diagonalize import (
     convergence_threshold,
 )
 from svdsolver_tpu.models.svd import svdvals, svdvals_batch, Bidiagonal
+from svdsolver_tpu.models.vectors import svd, bidiagonal_svd
 
 __version__ = "0.1.0"
 
@@ -58,5 +59,7 @@ __all__ = [
     "convergence_threshold",
     "svdvals",
     "svdvals_batch",
+    "svd",
+    "bidiagonal_svd",
     "Bidiagonal",
 ]
