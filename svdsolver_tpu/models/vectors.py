@@ -116,7 +116,7 @@ def bidiagonalize_blocked_uv(A, panel=32):
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
-def tgk_vectors(d, e, sig, iters=2):
+def tgk_vectors(d, e, sig, iters=3):
     """Singular vectors of the bidiagonal {d, e} for the values ``sig`` via
     inverse iteration on the Golub-Kahan tridiagonal, all lanes at once.
 

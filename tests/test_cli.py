@@ -43,3 +43,15 @@ def test_check_64():
         pytest.skip("fixtures not present")
     rc = main(["check", "64"])
     assert rc == 0
+
+
+def test_fixture_roundtrip(tmp_path):
+    import numpy as np
+    from svdsolver_tpu.utils import fixtures as fx
+
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    p = tmp_path / "m.bin"
+    fx.write_matrix(str(p), a)
+    fx.write_matrix(str(p), a)  # truncating (unlike the reference's append)
+    b = fx.read_matrix(str(p), 3, 4, np.float32)
+    np.testing.assert_array_equal(a, b)
