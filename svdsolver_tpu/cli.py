@@ -152,6 +152,23 @@ def cmd_check(args):
     return 0 if ok else 1
 
 
+def cmd_svdvals(args):
+    from svdsolver_tpu.models.svd import svdvals
+    from svdsolver_tpu.utils.fixtures import read_matrix
+
+    dtype = np.float64 if args.dtype == "double" else np.float32
+    A = read_matrix(args.path, args.n, args.n, dtype)
+    s = np.asarray(svdvals(jnp.asarray(A), method=args.model))
+    out = args.output
+    if out:
+        np.asarray(s).tofile(out)
+        print(f"wrote {len(s)} singular values to {out}")
+    else:
+        np.set_printoptions(precision=6, suppress=False, threshold=50)
+        print(s)
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="svdsolver_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -175,6 +192,18 @@ def main(argv=None):
     pc.add_argument("--band", type=int, default=4)
     pc.add_argument("--dtype", choices=["float", "double"], default="float")
     pc.set_defaults(fn=cmd_check)
+
+    ps = sub.add_parser(
+        "svdvals", help="singular values of a raw binary matrix file"
+    )
+    ps.add_argument("path", help="row-major binary matrix (reference format)")
+    ps.add_argument("n", type=int, help="matrix dimension (n x n)")
+    ps.add_argument("--model", default="tpu2", choices=[
+        "base", "singlecore", "multicore", "tpu1", "tpu2"])
+    ps.add_argument("--dtype", choices=["float", "double"], default="float")
+    ps.add_argument("--output", default=None,
+                    help="write sigma as raw binary instead of printing")
+    ps.set_defaults(fn=cmd_svdvals)
 
     args = p.parse_args(argv)
     return args.fn(args) or 0

@@ -55,3 +55,19 @@ def test_fixture_roundtrip(tmp_path):
     fx.write_matrix(str(p), a)  # truncating (unlike the reference's append)
     b = fx.read_matrix(str(p), 3, 4, np.float32)
     np.testing.assert_array_equal(a, b)
+
+
+def test_svdvals_subcommand(tmp_path):
+    import numpy as np
+    from svdsolver_tpu.utils import fixtures as fx
+
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(16, 16)).astype(np.float32)
+    p = tmp_path / "a.bin"
+    fx.write_matrix(str(p), A)
+    out = tmp_path / "s.bin"
+    rc = main(["svdvals", str(p), "16", "--model", "base", "--output", str(out)])
+    assert rc == 0
+    s = np.fromfile(out, dtype=np.float32)
+    want = np.linalg.svd(A.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, want, rtol=2e-4, atol=1e-5 * want[0])
