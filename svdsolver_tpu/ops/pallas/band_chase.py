@@ -64,8 +64,11 @@ def _masked_pair_eliminate(W, ro, co, lp, b):
     Wr = W[:, :CR]
     ci = lax.broadcasted_iota(jnp.int32, (1, CR), 1)
     ri = lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
-    rowmask = (ri == ro).astype(dtype)
-    xrow = _dot(rowmask.T, Wr)  # (1, CR): extract pivot row
+    # exact fp32 pivot-row extraction on the VPU (an MXU mask-dot would both
+    # cost a 6-pass HIGHEST matmul and round the data)
+    xrow = jnp.sum(
+        jnp.where(ri == ro, Wr, zero), axis=0, keepdims=True
+    )  # (1, CR)
     tail = jnp.logical_and(ci > co, ci < co + b)
     xt = jnp.where(tail, xrow, zero)
     pivot = jnp.sum(jnp.where(ci == co, xrow, zero))
@@ -90,8 +93,11 @@ def _masked_pair_eliminate(W, ro, co, lp, b):
     ro2 = ro + lp
     # pivot column extraction needs cols [0, 128) only (co < 128)
     ci2 = lax.broadcasted_iota(jnp.int32, (1, min(128, wc)), 1)
-    colmask = (ci2 == co).astype(dtype)
-    xcol = _dot(Ws[:, : min(128, wc)], colmask.T)  # (nr, 1)
+    xcol = jnp.sum(
+        jnp.where(ci2 == co, Ws[:, : min(128, wc)], zero),
+        axis=1,
+        keepdims=True,
+    )  # (nr, 1)
     tail2 = jnp.logical_and(ri2 > ro2, ri2 < ro2 + b)
     xt2 = jnp.where(tail2, xcol, zero)
     pivot2 = jnp.sum(jnp.where(ri2 == ro2, xcol, zero))
