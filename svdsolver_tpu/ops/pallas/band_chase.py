@@ -35,12 +35,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dot(a, b):
-    return jnp.matmul(
-        a, b, precision=lax.Precision.HIGHEST, preferred_element_type=a.dtype
-    )
-
-
 def _masked_pair_eliminate(W, ro, co, lp, b):
     """Both eliminations of one chase pair on buffer ``W``; pivot at dynamic
     ``(ro, co)`` with ``ro < 8``, ``co < 128``; left-elimination pivot ``lp``
@@ -81,8 +75,10 @@ def _masked_pair_eliminate(W, ro, co, lp, b):
     v = jnp.where(tail, xt / denom, zero) + jnp.where(ci == co, one, zero)
     safe_beta = jnp.where(beta == 0, one, beta)
     tau = jnp.where(trivial, zero, (beta - pivot) / safe_beta)
-    u = _dot(Wr, v.T)  # (wr, 1)
-    parts = [Wr - tau * _dot(u, v)] + ([W[:, CR:]] if CR < wc else [])
+    # matvec + rank-1 on the VPU: exact fp32, single pass (the MXU path
+    # would cost 6-pass HIGHEST matmuls for K=1/K=b contractions)
+    u = jnp.sum(Wr * v, axis=1, keepdims=True)  # (wr, 1)
+    parts = [Wr - (tau * u) * v] + ([W[:, CR:]] if CR < wc else [])
     W = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
     # --- left elimination (column reflector): rows [lp, lp+b+8) only ---
@@ -110,10 +106,10 @@ def _masked_pair_eliminate(W, ro, co, lp, b):
     v2 = jnp.where(tail2, xt2 / denom2, zero) + jnp.where(ri2 == ro2, one, zero)
     safe_beta2 = jnp.where(beta2 == 0, one, beta2)
     tau2 = jnp.where(trivial2, zero, (beta2 - pivot2) / safe_beta2)
-    u2 = _dot(v2.T, Ws)  # (1, wc)
+    u2 = jnp.sum(v2 * Ws, axis=0, keepdims=True)  # (1, wc)
     parts = (
         ([W[:RL, :]] if RL > 0 else [])
-        + [Ws - tau2 * _dot(v2, u2)]
+        + [Ws - (tau2 * v2) * u2]
         + ([W[RH:, :]] if RH < wr else [])
     )
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
