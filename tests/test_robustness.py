@@ -78,3 +78,17 @@ def test_entry_point_compiles():
     assert out.shape == (args[0].shape[0],)
     assert np.all(np.isfinite(out))
     assert np.all(np.diff(out) <= 0)  # descending
+
+
+def test_fuzz_models_agree(rng):
+    """All models must produce the same singular values (multi-seed fuzz)."""
+    for seed in range(4):
+        r = np.random.default_rng(seed)
+        A = jnp.asarray(r.normal(size=(32, 32)))
+        want = np.linalg.svd(np.asarray(A), compute_uv=False)
+        for method in ("base", "singlecore", "multicore", "tpu1", "tpu2"):
+            got = np.asarray(svdvals(A, method=method, block=8))
+            np.testing.assert_allclose(
+                got, want, rtol=1e-7, atol=1e-9 * want[0],
+                err_msg=f"seed={seed} method={method}",
+            )
