@@ -46,7 +46,14 @@ def _make_bidiagonals(n, count, rng, dtype, min_val=0.0, max_val=5.0):
     ]
 
 
+def _ensure_x64(args):
+    # without x64, f64 inputs silently downcast to f32
+    if args.dtype == "double":
+        jax.config.update("jax_enable_x64", True)
+
+
 def cmd_bench(args):
+    _ensure_x64(args)
     from svdsolver_tpu.models.golub_kahan import bidiagonalize_gk_jit
     from svdsolver_tpu.models.blocked import bidiagonalize_blocked
     from svdsolver_tpu.models.two_stage import dense_to_band, band_to_bidiagonal
@@ -115,6 +122,7 @@ def cmd_bench(args):
 
 
 def cmd_check(args):
+    _ensure_x64(args)
     from svdsolver_tpu.models.two_stage import dense_to_band, bidiagonalize_two_stage
     from svdsolver_tpu.utils import fixtures as fx
 
@@ -153,6 +161,7 @@ def cmd_check(args):
 
 
 def cmd_svdvals(args):
+    _ensure_x64(args)
     from svdsolver_tpu.models.svd import svdvals
     from svdsolver_tpu.utils.fixtures import read_matrix
 
