@@ -84,7 +84,7 @@ def dense_to_band_shardmap(A, mesh, band=32):
     hand-placed version of what GSPMD inserts for the jit path.  Exactly
     the panel-sweep schedule of models/two_stage.dense_to_band.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n = A.shape[0]
     b = int(band)
@@ -162,7 +162,7 @@ def dense_to_band_shardmap(A, mesh, band=32):
         mesh=mesh,
         in_specs=P(None, "tp"),
         out_specs=P(None, "tp"),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(A)
 

@@ -71,3 +71,15 @@ def test_svdvals_subcommand(tmp_path):
     s = np.fromfile(out, dtype=np.float32)
     want = np.linalg.svd(A.astype(np.float64), compute_uv=False)
     np.testing.assert_allclose(s, want, rtol=2e-4, atol=1e-5 * want[0])
+
+
+def test_check_double_dtype():
+    import numpy as np
+    from svdsolver_tpu.utils.fixtures import REPO_DATA
+
+    if not os.path.exists(os.path.join(REPO_DATA, "test_double_64_64.bin")):
+        import pytest
+
+        pytest.skip("fixtures not present")
+    rc = main(["check", "64", "--dtype", "double"])
+    assert rc == 0
