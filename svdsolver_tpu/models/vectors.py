@@ -210,14 +210,23 @@ def bidiagonal_svd(d, e):
 
 
 def svd(A, panel=32):
-    """Full singular value decomposition of square ``A``.
+    """Full (thin) singular value decomposition of ``A``.
 
-    Returns ``(U, s, Vh)`` with ``A ~= U @ diag(s) @ Vh``, s descending.
+    Returns ``(U, s, Vh)`` with ``A ~= U @ diag(s) @ Vh``, s descending;
+    for m x n input, U is (m, k) and Vh (k, n) with k = min(m, n).
     One-stage blocked reduction with accumulated factors + TGK inverse
     iteration for the bidiagonal vectors.  No reference counterpart (the
-    reference computes singular values only).
+    reference computes singular values only).  Rectangular inputs reduce to
+    the square triangular factor by a one-sided QR first.
     """
-    n = A.shape[0]
+    m, n = A.shape
+    if m != n:
+        if m < n:
+            U, s, Vh = svd(A.T, panel=panel)
+            return Vh.T, s, U.T
+        Q, R = jnp.linalg.qr(A, mode="reduced")  # (m, n), (n, n)
+        Ur, s, Vh = svd(R, panel=panel)
+        return pdot(Q, Ur), s, Vh
     d, e, Ug, Vg = bidiagonalize_blocked_uv(A, panel=panel)
     U_b, s, V_b = bidiagonal_svd(d, e)
     U = pdot(Ug, U_b)

@@ -35,6 +35,20 @@ def test_bidiagonal_svd_residuals(rng):
     assert res.max() / np.asarray(s)[0] < 1e-5
 
 
+@pytest.mark.parametrize("shape", [(48, 20), (20, 48)])
+def test_full_svd_rectangular(rng, shape):
+    A = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    U, s, Vh = svd(A, panel=8)
+    U, s, Vh = np.asarray(U), np.asarray(s), np.asarray(Vh)
+    k = min(shape)
+    assert U.shape == (shape[0], k) and Vh.shape == (k, shape[1])
+    want = np.linalg.svd(np.asarray(A, np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, want, rtol=2e-5, atol=1e-5 * want[0])
+    np.testing.assert_allclose(
+        U @ np.diag(s) @ Vh, np.asarray(A), atol=3e-5 * want[0]
+    )
+
+
 @pytest.mark.parametrize("n,b", [(32, 8), (96, 16)])
 def test_full_svd(rng, n, b):
     A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
