@@ -189,6 +189,145 @@ def _chase_kernel(n, b, K, A_in, A_out, W, sem_full, sem_w):
     lax.fori_loop(jnp.int32(0), jnp.int32(n - 1), sweep, 0)
 
 
+def _chase_kernel_pipelined(n, b, A_in, A_out, Wb, sem_full, sem_t, sems_s, sems_o):
+    """Software-pipelined chase (requires ``b % 128 == 0``).
+
+    Along one sweep the alignment phases (pr % 8, pc % 128) are invariant, so
+    consecutive windows overlap in a *statically*-placed (b, b) quadrant:
+    window k+1's buffer is assembled from a VMEM shift of window k's computed
+    buffer plus two L-strip DMAs (bottom (b, wc) rows, right (wr-b, b) cols).
+    With 4 rotating buffers the strip DMAs for window k+2 and the write-back
+    of window k fly during compute of window k, leaving compute + the VMEM
+    carry on the critical path.
+
+    Arithmetic and schedule are identical to the sequential kernel —
+    validated bitwise against it.
+    """
+    wr = 2 * b + 8
+    wc = -(-2 * b // 128) * 128 + 128
+    w = b + 1
+
+    full = pltpu.make_async_copy(A_in, A_out, sem_full)
+    full.start()
+    full.wait()
+
+    def do_top(pr, pc):
+        r0 = (pr // 8) * 8
+        c0 = (pc // 128) * 128
+        cin = pltpu.make_async_copy(
+            A_out.at[pl.ds(r0, wr), pl.ds(c0, wc)], Wb.at[0], sem_t
+        )
+        cin.start()
+        cin.wait()
+        Wb[0] = _masked_pair_eliminate(Wb[0], pr - r0, pc - c0, 1, b)
+        cout = pltpu.make_async_copy(
+            Wb.at[0], A_out.at[pl.ds(r0, wr), pl.ds(c0, wc)], sem_t
+        )
+        cout.start()
+        cout.wait()
+
+    def sweep(i, carry):
+        do_top(i, i + 1)
+        n_chase = (
+            jnp.maximum(jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // b))
+            + 1
+        )
+        r0_0 = ((i + 1) // 8) * 8          # aligned corners of window 0
+        c0_0 = ((i + 1 + b) // 128) * 128  # advance by b per window
+
+        def win_r0(k):
+            return pl.multiple_of(r0_0 + k * b, 8)
+
+        def win_c0(k):
+            return pl.multiple_of(c0_0 + k * b, 128)
+
+        def slot(k):
+            return lax.rem(k, 4)
+
+        def full_in(k):
+            return pltpu.make_async_copy(
+                A_out.at[pl.ds(win_r0(k), wr), pl.ds(win_c0(k), wc)],
+                Wb.at[slot(k)],
+                sem_t,
+            )
+
+        def strips(k):
+            """L-strip copies completing window k's buffer (its top-left
+            quadrant arrives via the VMEM carry)."""
+            bottom = pltpu.make_async_copy(
+                A_out.at[pl.ds(win_r0(k) + (wr - b), b), pl.ds(win_c0(k), wc)],
+                Wb.at[slot(k), pl.ds(wr - b, b), :],
+                sems_s.at[slot(k), 0],
+            )
+            right = pltpu.make_async_copy(
+                A_out.at[
+                    pl.ds(win_r0(k), wr - b), pl.ds(win_c0(k) + (wc - b), b)
+                ],
+                Wb.at[slot(k), pl.ds(0, wr - b), pl.ds(wc - b, b)],
+                sems_s.at[slot(k), 1],
+            )
+            return bottom, right
+
+        def out(k):
+            return pltpu.make_async_copy(
+                Wb.at[slot(k)],
+                A_out.at[pl.ds(win_r0(k), wr), pl.ds(win_c0(k), wc)],
+                sems_o.at[slot(k)],
+            )
+
+        # prologue: window 0 fully; strips for windows 1 and 2 in flight
+        fi = full_in(0)
+        fi.start()
+        fi.wait()
+        for cp in strips(1):
+            cp.start()
+        ro = (i + 1) - r0_0
+        co = (i + 1 + b) - c0_0
+
+        def body(k, carry):
+            # strips(k) were issued two iterations ago (or in the prologue)
+            @pl.when(k > 0)
+            def _():
+                b_cp, r_cp = strips(k)
+                b_cp.wait()
+                r_cp.wait()
+
+            Wb[slot(k)] = _masked_pair_eliminate(Wb[slot(k)], ro, co, b, b)
+
+            # the buffers carry/strips(k+2) touch were last read by out(k-2)
+            @pl.when(k >= 2)
+            def _():
+                out(k - 2).wait()
+
+            # carry the overlap quadrant into window k+1's buffer
+            Wb[slot(k + 1), pl.ds(0, wr - b), pl.ds(0, wc - b)] = Wb[
+                slot(k), pl.ds(b, wr - b), pl.ds(b, wc - b)
+            ]
+            out(k).start()
+            for cp in strips(k + 2):
+                cp.start()
+            return carry
+
+        lax.fori_loop(jnp.int32(0), n_chase, body, carry)
+        # epilogue: drain the last two write-backs and the overshoot strips
+        out_last = out(n_chase - 1)
+        out_last.wait()
+
+        @pl.when(n_chase >= 2)
+        def _():
+            out(n_chase - 2).wait()
+
+        b_cp, r_cp = strips(n_chase)
+        b_cp.wait()
+        r_cp.wait()
+        b_cp2, r_cp2 = strips(n_chase + 1)
+        b_cp2.wait()
+        r_cp2.wait()
+        return carry
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n - 1), sweep, 0)
+
+
 def _wavefront_kernel(n, b, s_max, n_lanes, A_in, A_out, Wb, sem_full, sems):
     """Pipelined-sweep chase: the wavefront schedule (sweep i's slot s at
     tick 3i+s — see models/two_stage.band_to_bidiagonal_wavefront for the
@@ -275,13 +414,48 @@ def _wavefront_kernel(n, b, s_max, n_lanes, A_in, A_out, Wb, sem_full, sems):
     lax.fori_loop(jnp.int32(0), jnp.int32(T), tick, 0)
 
 
-def band_to_bidiagonal_pallas(A, band=128, wavefront=False):
+def band_to_bidiagonal_pallas(A, band=128, wavefront=False, pipelined=False):
     # x64 mode sends the trace into an int-promotion recursion inside Mosaic
     # lowering; the kernel is 32-bit only, so trace it with x64 off.
     with jax.enable_x64(False):
         if wavefront:
             return _band_to_bidiagonal_pallas_wf(A, band=band)
+        if pipelined and band % 128 == 0:
+            return _band_to_bidiagonal_pallas_pipe(A, band=band)
         return _band_to_bidiagonal_pallas(A, band=band)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def _band_to_bidiagonal_pallas_pipe(A, band=128):
+    """Software-pipelined chase; band % 128 == 0; bitwise-equal results to
+    the sequential kernel."""
+    n = A.shape[0]
+    b = int(band)
+    dtype = A.dtype
+    if n < 2:
+        return jnp.abs(jnp.diag(A)), jnp.zeros((0,), dtype)
+    wr = 2 * b + 8
+    wc = -(-2 * b // 128) * 128 + 128
+    pad = 3 * b + wc + 160
+    Ap = jnp.pad(A, ((0, pad), (0, pad)))
+    Np = n + pad
+
+    out = pl.pallas_call(
+        functools.partial(_chase_kernel_pipelined, n, b),
+        out_shape=jax.ShapeDtypeStruct((Np, Np), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((4, wr, wc), dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((4, 2)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(Ap)
+    B = out[:n, :n]
+    return jnp.diag(B), jnp.diag(B, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("band",))

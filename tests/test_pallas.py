@@ -114,3 +114,13 @@ def test_pallas_end_to_end_svdvals(rng):
     want = np.linalg.svd(np.asarray(A).astype(np.float64), compute_uv=False)
     got = np.asarray(svdvals(A, method="tpu2", block=16))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5 * want[0])
+
+
+def test_pallas_chase_pipelined_bitwise(rng):
+    n, b = 256, 128
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ab = dense_to_band(A, band=b)
+    d1, e1 = band_to_bidiagonal_pallas(Ab, band=b, pipelined=False)
+    d2, e2 = band_to_bidiagonal_pallas(Ab, band=b, pipelined=True)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
