@@ -167,28 +167,34 @@ def dense_to_band_shardmap(A, mesh, band=32):
     return fn(A)
 
 
-def dryrun(n_devices: int) -> None:
+def dryrun(n_devices: int, platform=None) -> None:
     """Compile + execute one fully-sharded step on tiny shapes.
 
     Builds an ``n_devices`` mesh (dp x tp), runs a data-parallel batch of
     tensor-parallel two-stage SVDs, and checks the result is finite and
-    matches the single-device path.
+    matches the single-device path.  ``platform`` pins the mesh's backend
+    (e.g. ``"cpu"`` for the virtual host mesh); every input is explicitly
+    placed on that mesh so the default backend is never touched.
     """
     import numpy as np
     from svdsolver_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(n_devices)
+    mesh = make_mesh(n_devices, platform=platform)
     batch = 2 * mesh.shape["dp"]
     n, band = 32, 8
     rng = np.random.default_rng(0)
     # explicit-collective Stage I (shard_map psum/all_gather over tp)
-    A0 = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    A0 = jax.device_put(
+        rng.normal(size=(n, n)).astype(np.float32),
+        NamedSharding(mesh, P(None, "tp")),
+    )
     Ab = jax.block_until_ready(dense_to_band_shardmap(A0, mesh, band=band))
     s_band = np.linalg.svd(np.asarray(Ab, np.float64), compute_uv=False)
     s_ref = np.linalg.svd(np.asarray(A0, np.float64), compute_uv=False)
     assert np.max(np.abs(s_band - s_ref)) / s_ref[0] < 1e-4, "shard_map stage I"
-    # GSPMD batch path (dp x tp shardings under jit)
-    As = jnp.asarray(rng.uniform(0.0, 5.0, (batch, n, n)).astype(np.float32))
+    # GSPMD batch path (dp x tp shardings under jit); svdvals_batch_sharded
+    # device_puts the raw numpy batch straight onto the mesh.
+    As = rng.uniform(0.0, 5.0, (batch, n, n)).astype(np.float32)
     sig = jax.block_until_ready(svdvals_batch_sharded(As, mesh, band=band))
     assert sig.shape == (batch, n), sig.shape
     assert bool(jnp.all(jnp.isfinite(sig))), "non-finite singular values"

