@@ -1,10 +1,14 @@
-"""Headline benchmark: two-stage Stage-I dense->band reduction, N=3200 fp32.
+"""Headline benchmark: one JSON line to stdout, diagnostics to stderr.
 
-Baseline: the reference's published V100 CUDA-1 band-reduction wall-clock at
-N=3200, band=32 — 22.0778 s (reference README.md:203; see BASELINE.md).
+Primary metric (round-comparable): two-stage Stage-I dense->band reduction,
+N=3200 band=32 fp32 — the reference's canonical CUDA sweep config.  Baseline:
+the reference's published V100 CUDA-1 band-reduction wall-clock at N=3200,
+band=32 — 22.0778 s (reference README.md:203; see BASELINE.md).
 ``vs_baseline`` is the speedup factor (baseline_seconds / our_seconds).
 
-Prints exactly one JSON line to stdout; diagnostics go to stderr.
+The same JSON line also carries the BASELINE.json north-star: full singular
+values at 3840x3840 fp32 (flagship tpu2 path) — wall-clock and max relative
+error vs LAPACK (gate: within 1e-6 * ||A||_2).
 """
 
 import json
@@ -16,21 +20,30 @@ import numpy as np
 N = 3200
 BAND = 32
 BASELINE_S = 22.0778  # V100 CUDA-1, README.md:203
+NS_N = 3840  # north-star size (BASELINE.json)
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    from svdsolver_tpu.models.svd import svdvals, use_pallas
     from svdsolver_tpu.models.two_stage import dense_to_band
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     rng = np.random.default_rng(0)
     A = jnp.asarray(rng.uniform(0.0, 5.0, size=(N, N)).astype(np.float32))
 
+    if use_pallas(A.dtype):
+        from svdsolver_tpu.ops.pallas.panel_qr import dense_to_band_pallas
+
+        stage1 = dense_to_band_pallas
+    else:
+        stage1 = dense_to_band
+
     def run(x):
         # Force a device->host read: block_until_ready does not reliably
         # block on the tunneled TPU platform.
-        return float(np.asarray(dense_to_band(x, band=BAND)[0, 0]))
+        return float(np.asarray(stage1(x, band=BAND)[0, 0]))
 
     t0 = time.perf_counter()
     run(A)
@@ -45,7 +58,34 @@ def main():
     t = min(times)
     flops = 8 / 3 * N**3  # two-sided blocked reduction FLOP count
     gflops = flops / t / 1e9
-    print(f"times: {times}  gflops: {gflops:.1f}", file=sys.stderr)
+    print(f"stage1 times: {times}  gflops: {gflops:.1f}", file=sys.stderr)
+
+    # ---- north star: full sigma at 3840^2 fp32 (tpu2), acc vs LAPACK ----
+    ns_s = ns_err = None
+    try:
+        Ans = jnp.asarray(
+            rng.uniform(0.0, 5.0, size=(NS_N, NS_N)).astype(np.float32)
+        )
+
+        def run_ns(x):
+            return np.asarray(svdvals(x, method="tpu2"))
+
+        run_ns(Ans)  # compile
+        ns_times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sig = run_ns(Ans)
+            ns_times.append(time.perf_counter() - t0)
+        ns_s = min(ns_times)
+        ref = np.linalg.svd(np.asarray(Ans, np.float64), compute_uv=False)
+        ns_err = float(np.max(np.abs(sig - ref)) / ref[0])
+        print(
+            f"north star: svdvals {NS_N}^2 fp32 times {ns_times} "
+            f"rel_err {ns_err:.2e}",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # diagnostics only — never break the bench line
+        print(f"north-star bench failed: {exc}", file=sys.stderr)
 
     # full-pipeline breakdown (flagship tpu2 path, auto band) to stderr
     try:
@@ -53,15 +93,19 @@ def main():
 
         st = stage_timings(A, method="tpu2")
         print(f"full pipeline (tpu2, band={st['band']}): {st}", file=sys.stderr)
-    except Exception as exc:  # diagnostics only — never break the bench line
+    except Exception as exc:
         print(f"stage_timings failed: {exc}", file=sys.stderr)
 
-    print(json.dumps({
+    line = {
         "metric": f"stage1_dense_to_band_N{N}_band{BAND}_fp32_wallclock",
         "value": round(t, 4),
         "unit": "seconds",
         "vs_baseline": round(BASELINE_S / t, 2),
-    }))
+    }
+    if ns_s is not None:
+        line["northstar_svdvals_N3840_fp32_s"] = round(ns_s, 4)
+        line["northstar_max_rel_err_vs_lapack"] = float(f"{ns_err:.3e}")
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -75,8 +75,15 @@ def bidiagonalize(A, method="tpu2", block=None):
         if method == "multicore":
             # the reference's tiled TS-QR schedule (brd_p1, svd_parallel.h)
             Ab = dense_to_band_tiled(Ap, band=block)
+        elif method == "tpu2" and use_pallas(A.dtype):
+            # device-resident panel factorization (the CUDA-2 analogue:
+            # taus/reflectors never leave the chip) + shrinking trailing GEMMs
+            from svdsolver_tpu.ops.pallas.panel_qr import dense_to_band_pallas
+
+            Ab = dense_to_band_pallas(Ap, band=block)
         else:
-            # the panel-sweep schedule of its CUDA drivers (cuda_brd_p1)
+            # the panel-sweep schedule of its CUDA drivers (cuda_brd_p1);
+            # per-op XLA dispatch is the analogue of CUDA-1's per-op launches
             Ab = dense_to_band(Ap, band=block)
         if method == "tpu2" and use_pallas(A.dtype):
             # device-resident single-launch chase (the CUDA-2 analogue)

@@ -71,12 +71,29 @@ def _panel_qr_step(A, c0, r_off, b):
     return A
 
 
-@functools.partial(jax.jit, static_argnames=("band",))
-def dense_to_band(A, band=32):
+def segment_bounds(nb, segments):
+    """Panel-index boundaries splitting ``nb`` panels into ``segments``
+    roughly equal runs (for static trailing-matrix shrinking)."""
+    segments = max(1, min(int(segments), nb))
+    return [nb * s // segments for s in range(segments + 1)]
+
+
+@functools.partial(jax.jit, static_argnames=("band", "segments"))
+def dense_to_band(A, band=32, segments=1):
     """Stage I: reduce square ``A`` to upper-band form (``band`` superdiagonals).
 
     Requires ``n % band == 0`` (as the reference does — README.md:45); callers
     pad otherwise (zero padding only appends zero singular values).
+
+    ``segments``: the trailing updates run on the static sub-block
+    ``A[s0:, s0:]`` per segment of panels (the TPU form of the reference's
+    shrinking trailing matrix, svd_cuda_2.cu:1172-1175 ``reduce``) — full-width
+    GEMMs all the way down would cost 3x the FLOPs of the true trailing
+    updates.  Exact: a panel at column c >= s0 only reads/writes rows and
+    columns >= s0 (reflector support starts at the pivot), and everything
+    it reads outside the band there is still dense.  Default 1: this XLA
+    path is dispatch-bound, not GEMM-bound (measured: segments=4 is ~6%
+    slower at n=3200); the Pallas Stage I defaults to 4.
     """
     n = A.shape[0]
     b = int(band)
@@ -85,13 +102,22 @@ def dense_to_band(A, band=32):
     if n % b != 0:
         raise ValueError(f"n={n} must be divisible by band={b}")
 
-    def step(k, A):
+    def step(k, S):
         c = k * b
-        A = _panel_qr_step(A, c, c, b)           # QR on panel columns
-        A = _panel_qr_step(A.T, c, c + b, b).T   # LQ on panel rows
-        return A
+        S = _panel_qr_step(S, c, c, b)           # QR on panel columns
+        S = _panel_qr_step(S.T, c, c + b, b).T   # LQ on panel rows
+        return S
 
-    return lax.fori_loop(0, n // b, step, A)
+    bounds = segment_bounds(n // b, segments)
+    for s in range(len(bounds) - 1):
+        k0, k1 = bounds[s], bounds[s + 1]
+        if k0 == k1:
+            continue
+        s0 = k0 * b
+        sub = lax.dynamic_slice(A, (s0, s0), (n - s0, n - s0))
+        sub = lax.fori_loop(0, k1 - k0, step, sub)
+        A = lax.dynamic_update_slice(A, sub, (s0, s0))
+    return A
 
 
 def _left_elim(A, r0, c0, wr, wc):

@@ -72,12 +72,15 @@ def _panel_kernel(b, m, roff_ref, Pt_in, Rt, Vt, Tt):
         safe_beta = jnp.where(beta == 0, one, beta)
         tau = jnp.where(trivial, zero, (beta - pivot) / safe_beta)
         # apply H to the whole panel: finished rows (< j) have zeros in v's
-        # support so they are no-ops, and row j finalizes to its R row
-        u = _dot(Rt[:], v.T)  # (b, 1)
-        Rt[:] = Rt[:] - tau * _dot(u, v)
+        # support so they are no-ops, and row j finalizes to its R row.
+        # Matvec + rank-1 as VPU broadcast-reductions — exact fp32 in one
+        # pass each, where the MXU route costs 6 bf16 passes per contraction
+        # (HIGHEST) and pads K=1 to a full tile.
+        u = jnp.sum(Rt[:] * v, axis=1, keepdims=True)  # (b, 1)
+        Rt[:] = Rt[:] - (tau * u) * v
         # larft (transposed): Tt[j, :] = -tau * w^T Tt + tau * e_j
-        w = _dot(Vt[:], v.T)  # (b, 1); rows >= j are still zero
-        t_row = -tau * _dot(w.T, Tt[:]) + jnp.where(
+        w = jnp.sum(Vt[:] * v, axis=1, keepdims=True)  # (b, 1); rows >= j zero
+        t_row = -tau * jnp.sum(w * Tt[:], axis=0, keepdims=True) + jnp.where(
             bcols == j, tau, zero
         )
         Tt[:] = jnp.where(rows == j, t_row, Tt[:])
@@ -102,19 +105,21 @@ def panel_qr_pallas(A_panel_t, r_off, band):
         )
 
 
-def dense_to_band_pallas(A, band=128):
+def dense_to_band_pallas(A, band=128, segments=4):
     """Stage I with Pallas panel factorizations + XLA MXU trailing updates.
 
     Same schedule/output class as models/two_stage.dense_to_band; the panel
-    inner loops run on-chip instead of as ~2n XLA loop iterations.  fp32/TPU.
+    inner loops run on-chip instead of as ~2n XLA loop iterations, and the
+    trailing updates shrink per segment exactly as there.  fp32/TPU.
     """
     with jax.enable_x64(False):
-        return _dense_to_band_pallas(A, band=band)
+        return _dense_to_band_pallas(A, band=band, segments=segments)
 
 
-@functools.partial(jax.jit, static_argnames=("band",))
-def _dense_to_band_pallas(A, band=128):
+@functools.partial(jax.jit, static_argnames=("band", "segments"))
+def _dense_to_band_pallas(A, band=128, segments=4):
     from svdsolver_tpu.ops.precision import pdot
+    from svdsolver_tpu.models.two_stage import segment_bounds
 
     n = A.shape[0]
     b = int(band)
@@ -123,24 +128,34 @@ def _dense_to_band_pallas(A, band=128):
     if n % b != 0:
         raise ValueError(f"n={n} must be divisible by band={b}")
 
-    def step(k, A):
+    def step(k, S):
+        m = S.shape[0]
         c = k * b
         # QR panel on columns [c, c+b)
-        Pt = lax.dynamic_slice(A, (0, c), (n, b)).T
+        Pt = lax.dynamic_slice(S, (0, c), (m, b)).T
         Rt, Vt, Tt = _panel_qr_pallas(Pt, c, b)
-        W = pdot(Vt, A)  # (b, n)
-        A = A - pdot(Vt.T, pdot(Tt, W))  # Tt = T^T: A - V T^T V^T A
-        A = lax.dynamic_update_slice(A, Rt.T, (0, c))
+        W = pdot(Vt, S)  # (b, m)
+        S = S - pdot(Vt.T, pdot(Tt, W))  # Tt = T^T: A - V T^T V^T A
+        S = lax.dynamic_update_slice(S, Rt.T, (0, c))
         # LQ panel on rows [c, c+b), pivots at the band offset c+b
-        Sl = lax.dynamic_slice(A, (c, 0), (b, n))
+        Sl = lax.dynamic_slice(S, (c, 0), (b, m))
         Rt2, Vt2, Tt2 = _panel_qr_pallas(Sl, c + b, b)
         # right update: A <- A (I - V T V^T)  with V = Vt2^T, T^T = Tt2
-        AV = pdot(A, Vt2.T)  # (n, b)
-        A = A - pdot(pdot(AV, Tt2.T), Vt2)
-        A = lax.dynamic_update_slice(A, Rt2, (c, 0))
-        return A
+        AV = pdot(S, Vt2.T)  # (m, b)
+        S = S - pdot(pdot(AV, Tt2.T), Vt2)
+        S = lax.dynamic_update_slice(S, Rt2, (c, 0))
+        return S
 
-    return lax.fori_loop(0, n // b, step, A)
+    bounds = segment_bounds(n // b, segments)
+    for s in range(len(bounds) - 1):
+        k0, k1 = bounds[s], bounds[s + 1]
+        if k0 == k1:
+            continue
+        s0 = k0 * b
+        sub = lax.dynamic_slice(A, (s0, s0), (n - s0, n - s0))
+        sub = lax.fori_loop(0, k1 - k0, step, sub)
+        A = lax.dynamic_update_slice(A, sub, (s0, s0))
+    return A
 
 
 @functools.partial(jax.jit, static_argnames=("band",))

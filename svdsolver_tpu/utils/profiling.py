@@ -45,10 +45,13 @@ def stage_timings(A, band=None, method="tpu2", diag="bisect", warmup=True):
     if pad:
         A = jnp.pad(A, ((0, pad), (0, pad)))
 
+    stage1 = dense_to_band
     stage2 = band_to_bidiagonal
     if method == "tpu2" and use_pallas(A.dtype):
         from svdsolver_tpu.ops.pallas.band_chase import band_to_bidiagonal_pallas
+        from svdsolver_tpu.ops.pallas.panel_qr import dense_to_band_pallas
 
+        stage1 = dense_to_band_pallas
         stage2 = band_to_bidiagonal_pallas
     solver = bidiagonal_svdvals if diag == "qr" else bisect_svdvals
     if diag == "bisect" and method == "tpu2" and use_pallas(A.dtype):
@@ -58,9 +61,9 @@ def stage_timings(A, band=None, method="tpu2", diag="bisect", warmup=True):
 
     out = {}
     if warmup:
-        sync(solver(*sync(stage2(sync(dense_to_band(A, band=band)), band=band))))
+        sync(solver(*sync(stage2(sync(stage1(A, band=band)), band=band))))
     t0 = time.perf_counter()
-    Ab = sync(dense_to_band(A, band=band))
+    Ab = sync(stage1(A, band=band))
     out["stage1_dense_to_band_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     d, e = sync(stage2(Ab, band=band))

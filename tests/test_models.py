@@ -128,3 +128,16 @@ def test_tiled_feeds_stage2(rng):
     Ab = dense_to_band_tiled(A, band=b)
     d, e = band_to_bidiagonal(Ab, band=b)
     check_sigma(d, e, A)
+
+
+def test_dense_to_band_segments_match(rng):
+    # Segmented trailing updates (static shrinking sub-blocks) compute the
+    # same reduction as the full-width schedule up to contraction rounding.
+    n, b = 96, 16
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    A1 = np.asarray(dense_to_band(A, band=b, segments=1))
+    A4 = np.asarray(dense_to_band(A, band=b, segments=4))
+    np.testing.assert_allclose(A4, A1, atol=5e-5)
+    want = np.linalg.svd(np.asarray(A, np.float64), compute_uv=False)
+    got = np.linalg.svd(A4.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5 * want[0])
