@@ -328,6 +328,144 @@ def _chase_kernel_pipelined(n, b, A_in, A_out, Wb, sem_full, sem_t, sems_s, sems
     lax.fori_loop(jnp.int32(0), jnp.int32(n - 1), sweep, 0)
 
 
+def _chase_kernel_megapipe(n, b, K, A_in, A_out, Wb, Wp, sem_full, sem_t, sems_s, sems_o):
+    """Mega-window software-pipelined chase (requires ``b % 128 == 0``).
+
+    Each DMA'd mega-window covers ``K`` consecutive chase pairs of one sweep.
+    Three fixes over the measured dead ends (PERF_NOTES):
+
+    * every pair is eliminated on a dedicated aligned (wr, wc) scratch ``Wp``
+      (two whole-buffer VMEM copies at static 128-aligned offsets) instead of
+      in place on a mega-buffer sub-view — the sub-view RMW cost that sank
+      the original K-hop kernel;
+    * consecutive mega-windows overlap by a (b+8, b+128) quadrant, which is
+      carried VMEM->VMEM (static shift: hop advance K*b is lane-aligned), so
+      the in-DMAs shrink to two disjoint L-strips;
+    * two rotating buffers let the write-back of mega k and the strips of
+      mega k+1 fly during mega k+1's compute — 3 DMA issues per K pairs
+      (the sequential kernel pays 2 per pair).
+
+    Hazard discipline (all regions verified disjoint): strips(k+1) reads HBM
+    rows/cols starting exactly where out(k)'s write region ends; out(k) is
+    waited before the carry into its slot's successor; overlapping writes
+    out(k), out(k+1) are ordered by the same wait.
+    """
+    wr = 2 * b + 8
+    wc = -(-2 * b // 128) * 128 + 128
+    mr = (K + 1) * b + 8
+    mc = (K + 1) * b + 128
+    w = b + 1
+
+    full = pltpu.make_async_copy(A_in, A_out, sem_full)
+    full.start()
+    full.wait()
+
+    def do_top(pr, pc):
+        r0 = (pr // 8) * 8
+        c0 = (pc // 128) * 128
+        cin = pltpu.make_async_copy(
+            A_out.at[pl.ds(r0, wr), pl.ds(c0, wc)], Wp, sem_t
+        )
+        cin.start()
+        cin.wait()
+        Wp[:] = _masked_pair_eliminate(Wp[:], pr - r0, pc - c0, 1, b)
+        cout = pltpu.make_async_copy(
+            Wp, A_out.at[pl.ds(r0, wr), pl.ds(c0, wc)], sem_t
+        )
+        cout.start()
+        cout.wait()
+
+    def sweep(i, carry):
+        do_top(i, i + 1)
+        n_chase = (
+            jnp.maximum(jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // b))
+            + 1
+        )
+        n_mega = -(-n_chase // K)
+        r0 = pl.multiple_of(((i + 1) // 8) * 8, 8)
+        c0 = pl.multiple_of(((i + 1 + b) // 128) * 128, 128)
+        ro = (i + 1) - r0
+        co = (i + 1 + b) - c0
+
+        def win_r(k):
+            return pl.multiple_of(r0 + k * (K * b), 8)
+
+        def win_c(k):
+            return pl.multiple_of(c0 + k * (K * b), 128)
+
+        def slot(k):
+            return lax.rem(k, 2)
+
+        def strips(k):
+            """The part of mega k's buffer not covered by the carried
+            (b+8, b+128) top-left quadrant: bottom rows + top-right block."""
+            bottom = pltpu.make_async_copy(
+                A_out.at[pl.ds(win_r(k) + (b + 8), mr - (b + 8)), pl.ds(win_c(k), mc)],
+                Wb.at[slot(k), pl.ds(b + 8, mr - (b + 8)), :],
+                sems_s.at[slot(k), 0],
+            )
+            right = pltpu.make_async_copy(
+                A_out.at[
+                    pl.ds(win_r(k), b + 8), pl.ds(win_c(k) + (b + 128), mc - (b + 128))
+                ],
+                Wb.at[slot(k), pl.ds(0, b + 8), pl.ds(b + 128, mc - (b + 128))],
+                sems_s.at[slot(k), 1],
+            )
+            return bottom, right
+
+        def out(k):
+            return pltpu.make_async_copy(
+                Wb.at[slot(k)],
+                A_out.at[pl.ds(win_r(k), mr), pl.ds(win_c(k), mc)],
+                sems_o.at[slot(k)],
+            )
+
+        # prologue: mega 0 arrives whole
+        fi = pltpu.make_async_copy(
+            A_out.at[pl.ds(win_r(0), mr), pl.ds(win_c(0), mc)], Wb.at[0], sem_t
+        )
+        fi.start()
+        fi.wait()
+
+        def body(k, carry):
+            @pl.when(k > 0)
+            def _():
+                bcp, rcp = strips(k)
+                bcp.wait()
+                rcp.wait()
+
+            s = slot(k)
+            for m in range(K):
+                Wp[:] = Wb[s, pl.ds(m * b, wr), pl.ds(m * b, wc)]
+                Wp[:] = _masked_pair_eliminate(Wp[:], ro, co, b, b)
+                Wb[s, pl.ds(m * b, wr), pl.ds(m * b, wc)] = Wp[:]
+
+            # out(k-1) read this slot's successor buffer; it must land before
+            # the carry overwrites it (also orders overlapping HBM writes)
+            @pl.when(k > 0)
+            def _():
+                out(k - 1).wait()
+
+            Wb[slot(k + 1), pl.ds(0, b + 8), pl.ds(0, b + 128)] = Wb[
+                s, pl.ds(K * b, b + 8), pl.ds(K * b, b + 128)
+            ]
+            out(k).start()
+            bcp, rcp = strips(k + 1)
+            bcp.start()
+            rcp.start()
+            return carry
+
+        lax.fori_loop(jnp.int32(0), n_mega, body, carry)
+        # epilogue: drain the final write-back and the overshoot strips
+        out(n_mega - 1).wait()
+        bcp, rcp = strips(n_mega)
+        bcp.wait()
+        rcp.wait()
+        return carry
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n - 1), sweep, 0)
+
+
 def _wavefront_kernel(n, b, s_max, n_lanes, A_in, A_out, Wb, sem_full, sems):
     """Pipelined-sweep chase: the wavefront schedule (sweep i's slot s at
     tick 3i+s — see models/two_stage.band_to_bidiagonal_wavefront for the
@@ -338,9 +476,12 @@ def _wavefront_kernel(n, b, s_max, n_lanes, A_in, A_out, Wb, sem_full, sems):
     Lane 0 is the (at most one) top pair of the tick; lanes 1..n_lanes-1 are
     chase pairs of the in-flight sweeps.  Inactive lanes are redirected to an
     all-zero aligned dummy corner where the masked eliminations are exact
-    no-ops; overlapping *unmodified* superset cells are written back by
-    several lanes with identical (pre-tick) values, which is benign because
-    every cell is modified by at most one lane per tick.
+    no-ops.  Lanes' logical windows are disjoint, but an aligned *superset*
+    can cover a cell another lane modified this tick (the top lane's superset
+    always reaches chase lane 1's pivot row), so write-backs are ordered
+    lane 0 -> G: a later lane's buffer holds the fresh value of every cell it
+    modified, and for band >= 16 no later lane's superset reaches an earlier
+    lane's modified cells.
     """
     wr = 2 * b + 8
     wc = -(-2 * b // 128) * 128 + 128
@@ -396,17 +537,20 @@ def _wavefront_kernel(n, b, s_max, n_lanes, A_in, A_out, Wb, sem_full, sems):
         for j in range(n_lanes):
             lp = 1 if j == 0 else b
             Wb[j] = _masked_pair_eliminate(Wb[j], pos[j][2], pos[j][3], lp, b)
-        copies_out = [
-            pltpu.make_async_copy(
+        # Write-backs are ORDERED (start+wait per lane): lanes' logical
+        # windows are disjoint, but their aligned supersets are not — a
+        # lane's stale superset cell can cover a cell another lane modified
+        # this tick (top lane vs chase lane 1 always; adjacent chase lanes
+        # at band=8), and concurrent DMAs have no completion-order guarantee.
+        # Later lanes modify later-pivot cells, so lane order j=0..G writes
+        # every modified cell last from the buffer that computed it.
+        for j in range(n_lanes):
+            cp = pltpu.make_async_copy(
                 Wb.at[j],
                 A_out.at[pl.ds(pos[j][0], wr), pl.ds(pos[j][1], wc)],
                 sems.at[j],
             )
-            for j in range(n_lanes)
-        ]
-        for cp in copies_out:
             cp.start()
-        for cp in copies_out:
             cp.wait()
         return carry
 
@@ -414,7 +558,17 @@ def _wavefront_kernel(n, b, s_max, n_lanes, A_in, A_out, Wb, sem_full, sems):
     lax.fori_loop(jnp.int32(0), jnp.int32(T), tick, 0)
 
 
-def band_to_bidiagonal_pallas(A, band=128, wavefront=False, pipelined=False):
+def band_to_bidiagonal_pallas(
+    A, band=128, wavefront=False, pipelined=False, mega=False, khops=4
+):
+    """Band -> bidiagonal chase, single Pallas launch; returns (d, e).
+
+    Default: the sequential window kernel — measured fastest.  The chase is
+    DMA-descriptor-row bound (~4.6 ns per transferred row; PERF_NOTES), and
+    total rows 2*(2b+8)*n^2/(2b) ~ 2n^2 are invariant to the windowing
+    scheme, so the pipelined/mega/wavefront variants (kept behind flags,
+    all differential-validated) only add VMEM-copy rows on top.
+    """
     # x64 mode sends the trace into an int-promotion recursion inside Mosaic
     # lowering; the kernel is 32-bit only, so trace it with x64 off.
     with jax.enable_x64(False):
@@ -422,7 +576,48 @@ def band_to_bidiagonal_pallas(A, band=128, wavefront=False, pipelined=False):
             return _band_to_bidiagonal_pallas_wf(A, band=band)
         if pipelined and band % 128 == 0:
             return _band_to_bidiagonal_pallas_pipe(A, band=band)
+        if mega and band % 128 == 0 and khops > 1:
+            return _band_to_bidiagonal_pallas_mega(A, band=band, khops=khops)
         return _band_to_bidiagonal_pallas(A, band=band)
+
+
+@functools.partial(jax.jit, static_argnames=("band", "khops"))
+def _band_to_bidiagonal_pallas_mega(A, band=128, khops=4):
+    """Mega-window pipelined chase; band % 128 == 0; same arithmetic and
+    schedule as the sequential kernel (differential-tested)."""
+    n = A.shape[0]
+    b = int(band)
+    K = int(khops)
+    dtype = A.dtype
+    if n < 2:
+        return jnp.abs(jnp.diag(A)), jnp.zeros((0,), dtype)
+    wr = 2 * b + 8
+    wc = -(-2 * b // 128) * 128 + 128
+    mr = (K + 1) * b + 8
+    mc = (K + 1) * b + 128
+    # Overshoot: the last mega (and its prefetched strips) may extend up to
+    # (2K+1) hops past the final genuine pivot — keep them in zero padding.
+    pad = (2 * K + 3) * b + mc + 128
+    Ap = jnp.pad(A, ((0, pad), (0, pad)))
+    Np = n + pad
+
+    out = pl.pallas_call(
+        functools.partial(_chase_kernel_megapipe, n, b, K),
+        out_shape=jax.ShapeDtypeStruct((Np, Np), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, mr, mc), dtype),
+            pltpu.VMEM((wr, wc), dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(Ap)
+    B = out[:n, :n]
+    return jnp.diag(B), jnp.diag(B, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("band",))
@@ -466,8 +661,11 @@ def _band_to_bidiagonal_pallas_wf(A, band=128):
     dtype = A.dtype
     if n < 2:
         return jnp.abs(jnp.diag(A)), jnp.zeros((0,), dtype)
-    if b % 8 != 0:
-        raise ValueError(f"band={b} must be a multiple of 8")
+    if b % 8 != 0 or b < 16:
+        # b >= 16 guarantees adjacent chase lanes' aligned supersets cannot
+        # reach each other's modified cells (3b-1 >= (2b+8)+7); the remaining
+        # top-vs-chase superset overlap is handled by ordered write-backs.
+        raise ValueError(f"band={b} must be a multiple of 8 and >= 16")
     w = b + 1
     wr = 2 * b + 8
     wc = -(-2 * b // 128) * 128 + 128

@@ -124,3 +124,14 @@ def test_pallas_chase_pipelined_bitwise(rng):
     d2, e2 = band_to_bidiagonal_pallas(Ab, band=b, pipelined=True)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_pallas_chase_mega_matches_sequential(rng):
+    n, b = 512, 128
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ab = dense_to_band(A, band=b)
+    d1, e1 = band_to_bidiagonal_pallas(Ab, band=b, mega=False)
+    d2, e2 = band_to_bidiagonal_pallas(Ab, band=b, mega=True, khops=2)
+    # identical arithmetic/schedule; allclose (not bitwise) across programs
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-6, atol=1e-7)
