@@ -240,9 +240,13 @@ def bisect_svdvals(d, e, iters=None):
     with (n,)-vector lanes, so sequential depth is O(2n * iters) instead of
     the QR iteration's O(n^2) scalar chain.
 
-    Component-wise accurate for bidiagonals (Demmel-Kahan 1990, sec. 5 —
-    bisection on TGK determines singular values to high relative accuracy);
-    absolute error is ``~||B|| * 2**-iters``.
+    Accuracy: ABSOLUTE, ``~||B|| * 2**-iters`` — a fixed iteration count
+    bisected from a Gershgorin bracket; tiny singular values carry no
+    relative-accuracy guarantee.  (Bisection on TGK *can* deliver the
+    Demmel-Kahan 1990 high relative accuracy, but only with per-value
+    relative stopping criteria and a pivmin guard; this implementation
+    instead relies on IEEE inf semantics for zero pivots and trades the
+    relative guarantee for a fixed, fully-vectorizable iteration count.)
     """
     n = d.shape[0]
     dtype = d.dtype

@@ -1,14 +1,23 @@
 """Pallas kernel: bidiagonal singular values by parallel bisection.
 
 Same algorithm as models/diagonalize.py:bisect_svdvals (Sturm pivot counts
-on the Golub-Kahan tridiagonal, all n values bisected simultaneously), but
-with the whole bisection in one kernel so the 2n-step pivot recurrence runs
-at VPU rates instead of paying XLA loop-dispatch per step.
+on the Golub-Kahan tridiagonal, all n values bisected simultaneously), with
+two TPU-specific accelerations:
 
-The recurrence needs one z^2 scalar per step; dynamic scalar indexing is
-not tile-aligned on TPU, so the z^2 vector is kept as a loop-carried value
-and rotated one lane per step (``pltpu.roll``) — the current scalar is
-always at static position [0, 0].
+* shift lanes live in an (8, W) buffer so every VPU sublane is busy (a
+  (1, n) layout uses 1/8 of the vector unit);
+* the pivot count uses a *twisted factorization* (Fernando/Parlett-style):
+  forward pivots ``p_i = -lam - z_i^2/p_{i-1}`` from the top and backward
+  pivots ``q_i = -lam - z_i^2/q_{i+1}`` from the bottom run in the same
+  loop iteration (independent chains, so the two divide latencies overlap)
+  and meet at the twist index m = n+1, where Sylvester inertia gives
+  ``negcount = #neg(p) + #neg(q) + (gamma < 0)`` with
+  ``gamma = p_m + q_m + lam``.  Sequential depth halves: n steps, not 2n.
+
+The recurrences need one z^2 scalar per step; dynamic scalar indexing is
+not tile-aligned on TPU, so each 128-wide block is sliced once and 8
+scalars are read at static lanes between cheap (1, 128) rotations
+(``pltpu.roll``).
 """
 
 import functools
@@ -22,52 +31,87 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _bisect_kernel(n, n2, iters, z2_ref, bound_ref, out_ref):
+def _bisect_kernel(n, iters, z2f_ref, z2r_ref, bound_ref, out_ref):
     dtype = out_ref.dtype
-    npad = out_ref.shape[1]
+    rows, W = out_ref.shape  # shift lanes as (8, W): all 8 VPU sublanes busy
     zero = jnp.zeros((), dtype)
     bound = bound_ref[0, 0]
-    ks = lax.broadcasted_iota(jnp.int32, (1, npad), 1)
+    ks = (
+        lax.broadcasted_iota(jnp.int32, (rows, W), 0) * W
+        + lax.broadcasted_iota(jnp.int32, (rows, W), 1)
+    )
     lane_ok = ks < n
 
-    lo0 = jnp.zeros((1, npad), dtype)
-    hi0 = jnp.full((1, npad), bound, dtype)
+    lo0 = jnp.zeros((rows, W), dtype)
+    hi0 = jnp.full((rows, W), bound, dtype)
 
-    # The pivot recurrence consumes z^2[0 .. n2-2] one scalar per step.  To
-    # keep every read static/aligned: 128-wide aligned blocks are sliced from
-    # the ref, and within a block 8 scalars are read at static lanes [0..8)
-    # between cheap (1, 128) rotates.  Steps beyond n2-2 are masked out of
-    # the count (their p updates are harmless).
-    n_blocks = (n2 - 1 + 127) // 128
+    # Chain length: n steps each.  Forward step j produces p_{2+j}; backward
+    # starts with a sacrificial zero so step 0 re-derives (and counts) q_{2n}
+    # without a separate init count; step n-1 yields the twist operands
+    # p_{n+1} / q_{n+1}.  The hot loop counts EVERY step unmasked (full
+    # 128-blocks only); the two over-counted twist operands are subtracted
+    # at the end, and a possible partial tail block runs a masked variant.
+    n_full = n // 128
+    n_tail = n - n_full * 128
 
     def biter(_, lohi):
         lo, hi = lohi
         lam = 0.5 * (lo + hi)
-        p0 = -lam
+        p0 = -lam  # p_1
         cnt0 = (p0 < 0).astype(jnp.int32)
 
         def block(jb, carry):
-            p, cnt = carry
-            zb = z2_ref[0:1, pl.ds(pl.multiple_of(jb * 128, 128), 128)]
+            p, q, cnt = carry
+            off = pl.multiple_of(jb * 128, 128)
+            zbf = z2f_ref[0:1, pl.ds(off, 128)]
+            zbr = z2r_ref[0:1, pl.ds(off, 128)]
 
             def sub(m8, carry2):
-                p, cnt, zb = carry2
-                base = jb * 128 + m8 * 8
-                for m in range(8):  # static unroll: zb lane m is static
-                    p = -lam - zb[0, m] / p
-                    live = jnp.logical_and(p < 0, base + m <= n2 - 2)
-                    cnt = cnt + live
-                zb = pltpu.roll(zb, 120, 1)  # rotate left by 8 lanes
-                return p, cnt, zb
+                p, q, cnt, zbf, zbr = carry2
+                for m in range(8):  # static unroll: lane m reads are static
+                    p = -lam - zbf[0, m] / p
+                    q = -lam - zbr[0, m] / q
+                    cnt = cnt + (p < 0)
+                    cnt = cnt + (q < 0)
+                zbf = pltpu.roll(zbf, 120, 1)  # rotate left by 8 lanes
+                zbr = pltpu.roll(zbr, 120, 1)
+                return p, q, cnt, zbf, zbr
 
-            p, cnt, _ = lax.fori_loop(
-                jnp.int32(0), jnp.int32(16), sub, (p, cnt, zb)
+            p, q, cnt, _, _ = lax.fori_loop(
+                0, 16, sub, (p, q, cnt, zbf, zbr), unroll=16
             )
-            return p, cnt
+            return p, q, cnt
 
-        _, cnt = lax.fori_loop(
-            jnp.int32(0), jnp.int32(n_blocks), block, (p0, cnt0)
+        p, q, cnt = lax.fori_loop(
+            jnp.int32(0), jnp.int32(n_full), block, (p0, -lam, cnt0)
         )
+        if n_tail:  # masked tail: freeze p/q and stop counting past step n-1
+            off = pl.multiple_of(n_full * 128, 128)
+            zbf = z2f_ref[0:1, pl.ds(off, 128)]
+            zbr = z2r_ref[0:1, pl.ds(off, 128)]
+
+            def sub_tail(m8, carry2):
+                p, q, cnt, zbf, zbr = carry2
+                base = n_full * 128 + m8 * 8
+                for m in range(8):
+                    live = base + m <= n - 1
+                    pn = -lam - zbf[0, m] / p
+                    qn = -lam - zbr[0, m] / q
+                    p = jnp.where(live, pn, p)
+                    q = jnp.where(live, qn, q)
+                    cnt = cnt + jnp.logical_and(pn < 0, live)
+                    cnt = cnt + jnp.logical_and(qn < 0, live)
+                zbf = pltpu.roll(zbf, 120, 1)
+                zbr = pltpu.roll(zbr, 120, 1)
+                return p, q, cnt, zbf, zbr
+
+            p, q, cnt, _, _ = lax.fori_loop(
+                jnp.int32(0), jnp.int32((n_tail + 7) // 8), sub_tail,
+                (p, q, cnt, zbf, zbr),
+            )
+        gamma = p + q + lam  # twist pivot at m = n+1 (zero TGK diagonal)
+        # p_{n+1}, q_{n+1} were counted in the loop but belong to the twist:
+        cnt = cnt - (p < 0) - (q < 0) + (gamma < 0)
         above = (cnt - n) > ks
         lo = jnp.where(above, lo, lam)
         hi = jnp.where(above, lam, hi)
@@ -106,17 +150,25 @@ def _bisect_svdvals_pallas(d, e, iters=None):
     azp = jnp.pad(az, (1, 1))
     bound = jnp.max(azp[:-1] + azp[1:]) * (1 + 4 * jnp.finfo(dtype).eps)
 
-    zpad = -(-n2 // 128) * 128
-    npad = -(-n // 128) * 128
-    z2v = jnp.zeros((1, zpad), dtype).at[0, : n2 - 1].set(z2)
+    # forward stream: z2f[j] = z2_{j+1};  backward stream: leading zero then
+    # z2r[j] = z2_{2n-j} (descending), so both chains read left-to-right.
+    zpad = -(-n // 128) * 128
+    z2f = jnp.zeros((1, zpad), dtype).at[0, :n].set(z2[:n])
+    z2r = (
+        jnp.zeros((1, zpad), dtype)
+        .at[0, 1:n]
+        .set(z2[n : n2 - 1][::-1])
+    )
+    W = -(-n // (8 * 128)) * 128  # lane width: (8, W) fills every sublane
 
     out = pl.pallas_call(
-        functools.partial(_bisect_kernel, n, n2, int(iters)),
-        out_shape=jax.ShapeDtypeStruct((1, npad), dtype),
+        functools.partial(_bisect_kernel, n, int(iters)),
+        out_shape=jax.ShapeDtypeStruct((8, W), dtype),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(z2v, jnp.reshape(bound, (1, 1)))
-    return out[0, :n][::-1]
+    )(z2f, z2r, jnp.reshape(bound, (1, 1)))
+    return out.reshape(-1)[:n][::-1]
