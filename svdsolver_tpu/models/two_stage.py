@@ -120,6 +120,67 @@ def dense_to_band(A, band=32, segments=1):
     return A
 
 
+@functools.partial(jax.jit, static_argnames=("band",))
+def dense_to_band_uv(A, band=32):
+    """Stage I with orthogonal-factor accumulation: returns ``(Ab, U1, V1)``
+    with ``A = U1 @ Ab @ V1^T`` (Ab upper-band).
+
+    Per QR panel ``U1 <- U1 (I - V T V^T)`` and per LQ panel
+    ``V1 <- V1 (I - V2 T2 V2^T)`` — all compact-WY GEMMs on the MXU.
+    """
+    n = A.shape[0]
+    b = int(band)
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("dense_to_band_uv expects a square matrix")
+    if n % b != 0:
+        raise ValueError(f"n={n} must be divisible by band={b}")
+    dtype = A.dtype
+
+    def panel_qr_collect(A, c0, r_off):
+        """As _panel_qr_step but returning (A, V, T)."""
+        m = A.shape[0]
+        P0 = lax.dynamic_slice(A, (0, c0), (m, b))
+        V0 = jnp.zeros((m, b), dtype)
+        T0 = jnp.zeros((b, b), dtype)
+        ridx = jnp.arange(m)
+
+        def col_body(j, carry):
+            P, V, T = carry
+            p = r_off + j
+            v, tau, beta = householder_vector(P[:, j], p)
+            P = P - tau * jnp.outer(v, pdot(v, P))
+            colj = jnp.where(ridx > p, jnp.zeros((), dtype), P[:, j])
+            pc = jnp.minimum(p, m - 1)
+            colj = colj.at[pc].set(jnp.where(p < m, beta, colj[pc]))
+            P = P.at[:, j].set(colj)
+            w = pdot(V.T, v)
+            T = T.at[:, j].set(-tau * pdot(T, w))
+            T = T.at[j, j].set(tau)
+            V = V.at[:, j].set(jnp.where(tau != 0, v, jnp.zeros((m,), dtype)))
+            return P, V, T
+
+        P, V, T = lax.fori_loop(0, b, col_body, (P0, V0, T0), unroll=4)
+        W = pdot(V.T, A)
+        A = A - pdot(V, pdot(T.T, W))
+        A = lax.dynamic_update_slice(A, P, (0, c0))
+        return A, V, T
+
+    U0 = jnp.eye(n, dtype=dtype)
+    Vc0 = jnp.eye(n, dtype=dtype)
+
+    def step(k, carry):
+        A, U1, V1 = carry
+        c = k * b
+        A, V, T = panel_qr_collect(A, c, c)
+        U1 = U1 - pdot(pdot(pdot(U1, V), T), V.T)  # U1 (I - V T V^T)
+        At, V2, T2 = panel_qr_collect(A.T, c, c + b)
+        A = At.T
+        V1 = V1 - pdot(pdot(pdot(V1, V2), T2), V2.T)  # V1 (I - V2 T2 V2^T)
+        return A, U1, V1
+
+    return lax.fori_loop(0, n // b, step, (A, U0, Vc0))
+
+
 def _left_elim(A, r0, c0, wr, wc):
     """Householder on window column 0 (pivot = window row 0), applied from the
     left to the whole window (reference: band_rd_left, svd_parallel.h:619)."""
@@ -205,6 +266,103 @@ def band_to_bidiagonal(A, band=32):
     Ap = lax.fori_loop(0, n - 1, sweep, Ap)
     B = Ap[:n, :n]
     return jnp.diag(B), jnp.diag(B, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def band_to_bidiagonal_accum(A, band=32):
+    """Stage II chase that also RECORDS every Householder reflector, for
+    singular-vector back-transformation.
+
+    Returns ``(d, e, VL, TL, VR, TR)``: reflector (i, s) of sweep ``i`` at
+    slot ``s`` (s=0: the top pair, s>=1: chase pair s-1) has length ``band``
+    and support ``[i+1+s*band, i+1+(s+1)*band)`` — rows for the left
+    reflectors ``VL`` (with taus ``TL``), columns for the right ``VR``/``TR``.
+    Within one sweep the slots' supports are disjoint (they tile the band),
+    which is what makes the back-transform batchable per sweep
+    (models/vectors.py:apply_chase_*).
+
+    The band matrix factors as ``A = L @ bidiag(d, e) @ R^T`` where
+    ``L = H(1) H(2) ...`` (left reflectors, creation order) and
+    ``R^T = G(1) G(2) ...`` (right reflectors, creation order).
+
+    Same schedule and arithmetic as :func:`band_to_bidiagonal` (the
+    reference's brd_p2, svd_parallel.h:639) — differential-tested.
+    """
+    n = A.shape[0]
+    dtype = A.dtype
+    w = int(band) + 1
+    b = w - 1
+    if n < 2:
+        raise ValueError("band_to_bidiagonal_accum needs n >= 2")
+    pad = 2 * w + 2
+    Ap = jnp.pad(A, ((0, pad), (0, pad)))
+    step = w - 1
+    s_max = max(0, -(-(n - (2 * w - 1)) // step)) + 2  # top + max chase slots
+    VL = jnp.zeros((n - 1, s_max, b), dtype)
+    TL = jnp.zeros((n - 1, s_max), dtype)
+    VR = jnp.zeros((n - 1, s_max, b), dtype)
+    TR = jnp.zeros((n - 1, s_max), dtype)
+
+    def top_pair(W):
+        v, tau, _ = householder_vector(W[0, : w - 1], 0)
+        Wr = W[:, : w - 1]
+        W = W.at[:, : w - 1].set(Wr - tau * jnp.outer(pdot(Wr, v), v))
+        v2, tau2, _ = householder_vector(W[1:, 0], 0)
+        Ws = W[1:, :]
+        W = W.at[1:, :].set(Ws - tau2 * jnp.outer(v2, pdot(v2, Ws)))
+        return W, v, tau, v2, tau2
+
+    def chase_pair(W):
+        v, tau, _ = householder_vector(W[0, : w - 1], 0)
+        Wr = W[:, : w - 1]
+        W = W.at[:, : w - 1].set(Wr - tau * jnp.outer(pdot(Wr, v), v))
+        v2, tau2, _ = householder_vector(W[w - 1 :, 0], 0)
+        Ws = W[w - 1 :, :]
+        W = W.at[w - 1 :, :].set(Ws - tau2 * jnp.outer(v2, pdot(v2, Ws)))
+        return W, v, tau, v2, tau2
+
+    def sweep(i, carry):
+        i = jnp.int32(i)
+        Ap, VL, TL, VR, TR = carry
+        W = lax.dynamic_slice(Ap, (i, i + 1), (w, 2 * w - 2))
+        W, vr, tr, vl, tl = top_pair(W)
+        Ap = lax.dynamic_update_slice(Ap, W, (i, i + 1))
+        zero = jnp.int32(0)
+        VR = lax.dynamic_update_slice(VR, vr[None, None, :], (i, zero, zero))
+        TR = TR.at[i, 0].set(tr)
+        VL = lax.dynamic_update_slice(
+            VL, vl[: w - 1][None, None, :], (i, zero, zero)
+        )
+        TL = TL.at[i, 0].set(tl)
+        n_chase = lax.max(
+            jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // step)
+        ) + 1
+
+        def chase(k, carry):
+            Ap, VL, TL, VR, TR = carry
+            r = i + 1 + k * step
+            c = i + 1 + (k + 1) * step
+            W = lax.dynamic_slice(Ap, (r, c), (2 * w - 2, 2 * w - 2))
+            W, vr, tr, vl, tl = chase_pair(W)
+            Ap = lax.dynamic_update_slice(Ap, W, (r, c))
+            k1 = jnp.int32(k) + 1
+            VR = lax.dynamic_update_slice(
+                VR, vr[None, None, :], (i, k1, jnp.int32(0))
+            )
+            TR = TR.at[i, k1].set(tr)
+            VL = lax.dynamic_update_slice(
+                VL, vl[: w - 1][None, None, :], (i, k1, jnp.int32(0))
+            )
+            TL = TL.at[i, k1].set(tl)
+            return Ap, VL, TL, VR, TR
+
+        return lax.fori_loop(0, n_chase, chase, (Ap, VL, TL, VR, TR))
+
+    Ap, VL, TL, VR, TR = lax.fori_loop(
+        0, n - 1, sweep, (Ap, VL, TL, VR, TR)
+    )
+    B = Ap[:n, :n]
+    return jnp.diag(B), jnp.diag(B, 1), VL, TL, VR, TR
 
 
 @functools.partial(jax.jit, static_argnames=("band",))

@@ -14,9 +14,16 @@ Two pieces:
   the compact-WY ``T`` recovered in closed form
   (``T^{-1} = striu(V^T V) + diag(1/tau)``), so accumulation is all GEMMs.
 
-Known limitation (documented, tested for the generic case): for singular
-values that are *exactly* multiple, inverse iteration returns vectors
-spanning the right subspace but not orthogonalized within it.
+Clustered or exactly-multiple singular values: inverse iteration alone would
+return nearly-parallel columns there, so :func:`tgk_vectors` re-orthogonalizes
+within detected clusters in TGK space (which preserves the U/V coupling).
+Remaining limitation: clusters wider than 8 are only orthogonalized against
+their nearest 7 neighbors.
+
+:func:`svd_two_stage` runs the flagship two-stage pipeline with full
+back-transformation of the Stage-I compact-WY factors and the recorded
+Stage-II chase reflectors (the reference's brd_p2 doc block advertises U1/V1
+outputs it never produces — svd_parallel.h:400-407).
 """
 
 import functools
@@ -115,12 +122,62 @@ def bidiagonalize_blocked_uv(A, panel=32):
     return d, e[: n - 1], Uacc, Vacc
 
 
+def _cluster_orthogonalize(x, sig, ctol, width=8):
+    """Gram-Schmidt within clusters of close singular values, in TGK space.
+
+    ``x``: (2n, n) TGK eigenvector columns for the shifts ``sig`` (sorted,
+    so clusters are contiguous).  Orthogonality of TGK eigenvectors implies
+    BOTH u- and v-orthogonality of the extracted singular vectors (for
+    eigenvectors of the same/close sigma, u'^T u = v'^T v = x'^T x up to the
+    eigen-residual), so orthogonalizing here preserves the U/V coupling —
+    orthogonalizing U and V independently would not.
+
+    Clusters wider than ``width`` are orthogonalized only against the
+    nearest ``width-1`` members (documented limitation).
+    """
+    N, n = x.shape
+    dtype = x.dtype
+    smax = jnp.max(jnp.abs(sig))
+    linked = jnp.abs(sig[1:] - sig[:-1]) <= ctol * smax  # (n-1,)
+    rid = jnp.cumsum(
+        jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                         1 - linked.astype(jnp.int32)])
+    )  # cluster id per column
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    def body(j, x):
+        zero = jnp.int32(0)
+        xj = lax.dynamic_slice(x, (zero, j), (N, 1))[:, 0]
+        for o in range(1, int(width)):
+            jo = jnp.maximum(j - o, 0)
+            prev = lax.dynamic_slice(x, (zero, jo), (N, 1))[:, 0]
+            same = jnp.logical_and(j - o >= 0, rid[j] == rid[jo])
+            # normalized projection: column 0 (and the input columns on the
+            # first visit) need not be unit norm
+            proj = jnp.sum(prev * xj) / jnp.maximum(
+                jnp.sum(prev * prev), tiny
+            )
+            xj = xj - jnp.where(same, proj, jnp.zeros((), dtype)) * prev
+        nrm = jnp.sqrt(jnp.maximum(jnp.sum(xj * xj), tiny))
+        xj = xj / nrm
+        return lax.dynamic_update_slice(x, xj[:, None], (zero, j))
+
+    return lax.fori_loop(jnp.int32(1), jnp.int32(n), body, x)
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def tgk_vectors(d, e, sig, iters=3):
     """Singular vectors of the bidiagonal {d, e} for the values ``sig`` via
     inverse iteration on the Golub-Kahan tridiagonal, all lanes at once.
 
     Returns ``(U_b, V_b)`` with ``bidiag(d, e) @ V_b ~= U_b * sig``.
+
+    Columns whose singular values are clustered (|sig_i - sig_j| <=
+    max(64, 2n)*eps*sig_max — including exactly-multiple values) are
+    re-coupled every iteration: v-parts orthogonalized within the cluster and
+    u rebuilt as B v / sigma (see ``couple_clusters`` for why that beats
+    x-space orthogonalization); clusters wider than 8 are orthogonalized
+    only against their nearest 7 members (documented limitation).
     """
     n = d.shape[0]
     N = 2 * n
@@ -186,16 +243,65 @@ def tgk_vectors(d, e, sig, iters=3):
 
     x = jax.random.normal(jax.random.PRNGKey(0), (N, n), dtype)
 
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    # multiplets of A spread by the reduction's backward error (~n*eps*smax)
+    # before reaching the bidiagonal, so the cluster net must be that wide
+    ctol = max(64, 2 * n) * eps
+    smax = jnp.max(jnp.abs(sig))
+    linked = jnp.abs(sig[1:] - sig[:-1]) <= ctol * smax
+    has_cluster = jnp.any(linked)
+    in_cluster = jnp.zeros((n,), bool).at[1:].set(linked)
+    in_cluster = in_cluster.at[:-1].max(linked)
+    # dstein-style shift perturbation: spread duplicate shifts by a few ulps
+    # so lanes of a multiplet are amplified toward different split eigvecs.
+    is_start = jnp.concatenate([jnp.ones((1,), bool), ~linked])
+    idx = jnp.arange(n)
+    pic = idx - jnp.maximum.accumulate(jnp.where(is_start, idx, 0))
+    lam = lam * (1 + 4 * eps * pic.astype(dtype))
+
+    def couple_clusters(x):
+        """Within clusters, orthogonalize the v-parts and REBUILD u = Bv/sig.
+
+        Cluster lanes can be contaminated by the -sigma TGK twin, which
+        shares the SAME v with opposite u — x-space orthogonality can then
+        leave u-parts parallel.  The twins' shared v means v-parts always
+        stay in the right singular subspace, so v-MGS + u-reconstruction
+        enforces the U/V coupling exactly and makes the u's orthogonal via
+        B^T B v ~= sigma^2 v."""
+        v = x[0::2]
+        u = x[1::2]
+        Vc = _cluster_orthogonalize(v, sig, ctol)
+        # column 0 is never visited by the MGS loop — normalize everything
+        Vc = Vc / jnp.maximum(
+            jnp.linalg.norm(Vc, axis=0, keepdims=True), tiny
+        )
+        Bv = d[:, None] * Vc
+        Bv = Bv.at[:-1, :].add(e[:, None] * Vc[1:, :])
+        Uc = Bv / jnp.maximum(sig, smax * eps + tiny)[None, :]
+        Uc = Uc / jnp.maximum(
+            jnp.linalg.norm(Uc, axis=0, keepdims=True), tiny
+        )
+        usable = jnp.logical_and(in_cluster, sig > 1e-3 * smax)
+        v = jnp.where(in_cluster[None, :], Vc, v)
+        u = jnp.where(usable[None, :], Uc, u)
+        x = x.at[0::2].set(v).at[1::2].set(u)
+        return x / jnp.maximum(
+            jnp.linalg.norm(x, axis=0, keepdims=True), tiny
+        )
+
     def it(_, x):
         x = solve(x)
         # near-singular solves reach ~1/sqrt(tiny); scale by the max first
         # so the norm's squares cannot overflow fp32
         mx = jnp.maximum(
-            jnp.max(jnp.abs(x), axis=0, keepdims=True),
-            jnp.asarray(jnp.finfo(dtype).tiny, dtype),
+            jnp.max(jnp.abs(x), axis=0, keepdims=True), tiny
         )
         x = x / mx
-        return x / jnp.linalg.norm(x, axis=0, keepdims=True)
+        x = x / jnp.linalg.norm(x, axis=0, keepdims=True)
+        # re-couple clusters EVERY iteration so the next solve amplifies the
+        # still-missing subspace component instead of re-collapsing lanes.
+        return lax.cond(has_cluster, couple_clusters, lambda x: x, x)
 
     x = lax.fori_loop(0, int(iters), it, x)
     sqrt2 = jnp.sqrt(jnp.asarray(2.0, dtype))
@@ -209,24 +315,110 @@ def bidiagonal_svd(d, e):
     return U_b, sig, V_b
 
 
-def svd(A, panel=32):
+@functools.partial(jax.jit, static_argnames=("band", "reverse"))
+def _apply_chase_reflectors(V, T, M, band, reverse):
+    """Apply a chase reflector product (from band_to_bidiagonal_accum) to the
+    rows of ``M``.
+
+    ``V``: (n_sweeps, s_max, b) reflectors, ``T``: (n_sweeps, s_max) taus;
+    reflector (i, s) acts on rows ``[i+1+s*b, i+1+(s+1)*b)``.  Within a sweep
+    the supports are disjoint, so one sweep applies as a single batched
+    (s_max, b, ncols) segment update; sweeps run sequentially in creation
+    order (``reverse=False``, computing ``R @ M``) or reverse creation order
+    (``reverse=True``, computing ``L @ M``).
+    """
+    n_sweeps, s_max, b = V.shape
+    ncols = M.shape[1]
+    P = s_max * b
+    dtype = M.dtype
+    # supports reach i+1+P <= n_sweeps + P; pad rows so segments are in-bounds
+    Mp = jnp.pad(M, ((0, n_sweeps + P + 1 - M.shape[0]), (0, 0)))
+
+    def sweep_apply(i, Mp):
+        seg = lax.dynamic_slice(Mp, (i + 1, 0), (P, ncols))
+        seg3 = seg.reshape(s_max, b, ncols)
+        v = V[i]  # (s_max, b); tau==0 slots are exact no-ops
+        tv = T[i][:, None] * v
+        coef = jnp.einsum(
+            "sb,sbn->sn",
+            tv,
+            seg3,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype,
+        )
+        seg3 = seg3 - v[:, :, None] * coef[:, None, :]
+        return lax.dynamic_update_slice(Mp, seg3.reshape(P, ncols), (i + 1, 0))
+
+    if reverse:
+        Mp = lax.fori_loop(
+            0, n_sweeps, lambda k, Mp: sweep_apply(n_sweeps - 1 - k, Mp), Mp
+        )
+    else:
+        Mp = lax.fori_loop(0, n_sweeps, sweep_apply, Mp)
+    return Mp[: M.shape[0]]
+
+
+def svd_two_stage(A, band=None):
+    """Full SVD through the flagship two-stage pipeline (square ``A``).
+
+    ``A = U diag(s) V^T`` via: Stage I with U1/V1 compact-WY accumulation
+    (``A = U1 Ab V1^T``), reflector-recording chase (``Ab = L B R^T``),
+    TGK bisection + inverse iteration for the bidiagonal vectors
+    (``B = Ub diag(s) Vb^T``), then back-transformation
+    ``U = U1 (L Ub)``, ``V = V1 (R Vb)``.
+
+    The reference's two-stage *documents* U1/V1 outputs it never produces
+    (svd_parallel.h:400-407); this delivers them.
+    """
+    from svdsolver_tpu.models.svd import _auto_block
+    from svdsolver_tpu.models.two_stage import (
+        dense_to_band_uv,
+        band_to_bidiagonal_accum,
+    )
+
+    n = A.shape[0]
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("svd_two_stage expects a square matrix; use svd()")
+    b = int(band) if band else _auto_block(n)
+    while b >= n and b > 2:  # tiny inputs: the chase needs band < n
+        b //= 2
+    pad = (-n) % b
+    if pad:
+        A = jnp.pad(A, ((0, pad), (0, pad)))
+    Ab, U1, V1 = dense_to_band_uv(A, band=b)
+    d, e, VL, TL, VR, TR = band_to_bidiagonal_accum(Ab, band=b)
+    U_b, s, V_b = bidiagonal_svd(d, e)
+    LU = _apply_chase_reflectors(VL, TL, U_b, b, reverse=True)   # L @ Ub
+    RV = _apply_chase_reflectors(VR, TR, V_b, b, reverse=True)   # R @ Vb
+    U = pdot(U1, LU)
+    V = pdot(V1, RV)
+    return U[:n, :n], s[:n], V[:n, :n].T
+
+
+def svd(A, panel=32, method="tpu2", band=None):
     """Full (thin) singular value decomposition of ``A``.
 
     Returns ``(U, s, Vh)`` with ``A ~= U @ diag(s) @ Vh``, s descending;
     for m x n input, U is (m, k) and Vh (k, n) with k = min(m, n).
-    One-stage blocked reduction with accumulated factors + TGK inverse
-    iteration for the bidiagonal vectors.  No reference counterpart (the
-    reference computes singular values only).  Rectangular inputs reduce to
-    the square triangular factor by a one-sided QR first.
+    No reference counterpart (the reference computes singular values only).
+    Rectangular inputs reduce to the square triangular factor by a one-sided
+    QR first.
+
+    ``method``: "tpu2"/"multicore"/"tpu1" run the two-stage pipeline with
+    chase-reflector back-transformation (:func:`svd_two_stage` — the fast
+    path at scale); "singlecore" runs the one-stage blocked reduction with
+    accumulated factors.
     """
     m, n = A.shape
     if m != n:
         if m < n:
-            U, s, Vh = svd(A.T, panel=panel)
+            U, s, Vh = svd(A.T, panel=panel, method=method, band=band)
             return Vh.T, s, U.T
         Q, R = jnp.linalg.qr(A, mode="reduced")  # (m, n), (n, n)
-        Ur, s, Vh = svd(R, panel=panel)
+        Ur, s, Vh = svd(R, panel=panel, method=method, band=band)
         return pdot(Q, Ur), s, Vh
+    if method in ("tpu2", "tpu1", "multicore"):
+        return svd_two_stage(A, band=band)
     d, e, Ug, Vg = bidiagonalize_blocked_uv(A, panel=panel)
     U_b, s, V_b = bidiagonal_svd(d, e)
     U = pdot(Ug, U_b)

@@ -61,3 +61,80 @@ def test_full_svd(rng, n, b):
     )
     np.testing.assert_allclose(U.T @ U, np.eye(n), atol=5e-5)
     np.testing.assert_allclose(Vh @ Vh.T, np.eye(n), atol=5e-5)
+
+
+def test_full_svd_one_stage(rng):
+    n = 48
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    U, s, Vh = svd(A, panel=16, method="singlecore")
+    U, s, Vh = np.asarray(U), np.asarray(s), np.asarray(Vh)
+    want = np.linalg.svd(np.asarray(A, np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, want, rtol=2e-5, atol=1e-5 * want[0])
+    np.testing.assert_allclose(
+        U @ np.diag(s) @ Vh, np.asarray(A), atol=3e-5 * want[0]
+    )
+
+
+def test_two_stage_svd_repeated_sigma(rng):
+    # VERDICT round-1 gate: clustered/exactly-multiple singular values must
+    # give orthogonal factors and a valid reconstruction through the
+    # flagship two-stage pipeline.
+    n = 96
+    Q1, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    Q2, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    svals = np.concatenate(
+        [np.full(5, 3.0), np.full(4, 1.0), rng.uniform(0.1, 2.5, n - 9)]
+    )
+    svals = np.sort(svals)[::-1]
+    A = jnp.asarray(((Q1 * svals) @ Q2.T).astype(np.float32))
+    U, s, Vh = svd(A, method="tpu2", band=16)
+    U, s, Vh = np.asarray(U), np.asarray(s), np.asarray(Vh)
+    np.testing.assert_allclose(s, svals, rtol=0, atol=1e-5 * svals[0])
+    assert np.abs(U.T @ U - np.eye(n)).max() < 1e-4
+    assert np.abs(Vh @ Vh.T - np.eye(n)).max() < 1e-4
+    assert np.abs(U @ np.diag(s) @ Vh - np.asarray(A)).max() < 1e-4 * svals[0]
+
+
+def test_two_stage_svd_f64_repeated(rng):
+    n = 96
+    Q1, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    Q2, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    svals = np.sort(
+        np.concatenate([np.full(5, 3.0), rng.uniform(0.1, 2.5, n - 5)])
+    )[::-1]
+    A = jnp.asarray((Q1 * svals) @ Q2.T)
+    U, s, Vh = svd(A, method="tpu2", band=16)
+    U, s, Vh = np.asarray(U), np.asarray(s), np.asarray(Vh)
+    assert np.abs(U.T @ U - np.eye(n)).max() < 1e-9
+    assert np.abs(U @ np.diag(s) @ Vh - np.asarray(A)).max() < 1e-9 * svals[0]
+
+
+def test_dense_to_band_uv_reconstructs(rng):
+    from svdsolver_tpu.models.two_stage import dense_to_band_uv
+
+    n, b = 64, 16
+    A = jnp.asarray(rng.normal(size=(n, n)))
+    Ab, U1, V1 = dense_to_band_uv(A, band=b)
+    Ab, U1, V1 = map(np.asarray, (Ab, U1, V1))
+    np.testing.assert_allclose(U1 @ Ab @ V1.T, np.asarray(A), atol=1e-12)
+    np.testing.assert_allclose(U1.T @ U1, np.eye(n), atol=1e-12)
+    np.testing.assert_allclose(V1.T @ V1, np.eye(n), atol=1e-12)
+
+
+def test_chase_accum_factorization(rng):
+    from svdsolver_tpu.models.two_stage import (
+        dense_to_band,
+        band_to_bidiagonal_accum,
+    )
+    from svdsolver_tpu.models.vectors import _apply_chase_reflectors
+
+    n, b = 48, 8
+    A = jnp.asarray(rng.normal(size=(n, n)))
+    Ab = dense_to_band(A, band=b)
+    d, e, VL, TL, VR, TR = band_to_bidiagonal_accum(Ab, band=b)
+    B = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+    I = jnp.eye(n, dtype=A.dtype)
+    L = np.asarray(_apply_chase_reflectors(VL, TL, I, b, reverse=True))
+    R = np.asarray(_apply_chase_reflectors(VR, TR, I, b, reverse=True))
+    np.testing.assert_allclose(L.T @ L, np.eye(n), atol=1e-12)
+    np.testing.assert_allclose(L @ B @ R.T, np.asarray(Ab), atol=1e-11)
