@@ -10,6 +10,8 @@ trailing-matrix GEMMs of Stage I shard across the ICI.
 from svdsolver_tpu.parallel.mesh import make_mesh
 from svdsolver_tpu.parallel.distributed import (
     svdvals_batch_sharded,
+    svdvals_batch_sharded_gspmd,
+    svdvals_sharded,
     dense_to_band_sharded,
     dense_to_band_shardmap,
     dryrun,
@@ -18,6 +20,8 @@ from svdsolver_tpu.parallel.distributed import (
 __all__ = [
     "make_mesh",
     "svdvals_batch_sharded",
+    "svdvals_batch_sharded_gspmd",
+    "svdvals_sharded",
     "dense_to_band_sharded",
     "dense_to_band_shardmap",
     "dryrun",

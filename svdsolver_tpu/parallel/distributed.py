@@ -53,15 +53,57 @@ def _svdvals_batch(As, mesh, band):
     return jax.vmap(one)(As)
 
 
-def svdvals_batch_sharded(As, mesh, band=32):
-    """Singular values of a batch of square matrices.
-
-    ``As``: (batch, n, n); the batch axis shards over ``dp``, the in-matrix
-    contraction over ``tp``.  One compiled executable; XLA places the
-    collectives.
+def svdvals_batch_sharded_gspmd(As, mesh, band=32):
+    """GSPMD variant of the batch path: shardings annotated, XLA places the
+    collectives.  VERIFIED FINDING (compiled-HLO inspection, n=32/tp=4): XLA
+    partitions most contractions (all-reduces present) but also ALL-GATHERS
+    the full per-dp-shard matrices at some program points — i.e. it partially
+    replicates A when its cost model prefers to.  The default
+    :func:`svdvals_batch_sharded` therefore uses explicit shard_map
+    collectives, where replication is impossible by construction.
     """
     As = jax.device_put(As, NamedSharding(mesh, P("dp", None, "tp")))
     return _svdvals_batch(As, mesh, band)
+
+
+def svdvals_batch_sharded(As, mesh, band=32):
+    """Singular values of a batch of square matrices, multi-chip.
+
+    ``As``: (batch, n, n); the batch axis shards over ``dp`` (zero
+    communication) and each matrix's columns over ``tp``.  Stage I runs with
+    hand-placed collectives (psum/all_gather riding the ICI — see
+    :func:`dense_to_band_shardmap`); the small band matrices are then
+    all-gathered once and Stage II + bisection run replicated per dp-group.
+    """
+    from jax import shard_map
+
+    batch, n, _ = As.shape
+    b = int(band)
+    n_dev = mesh.shape["tp"]
+    if n % b != 0 or n % n_dev != 0:
+        raise ValueError(f"n={n} must divide by band={b} and tp={n_dev}")
+    if batch % mesh.shape["dp"] != 0:
+        raise ValueError(
+            f"batch={batch} must divide by dp={mesh.shape['dp']}"
+        )
+    As = jax.device_put(As, NamedSharding(mesh, P("dp", None, "tp")))
+
+    def body(A_loc):  # (batch_loc, n, n_loc)
+        Ab_loc = jax.vmap(
+            functools.partial(_stage1_local, n=n, b=b, n_loc=n // n_dev)
+        )(A_loc)
+        Ab = jax.lax.all_gather(Ab_loc, "tp", axis=2, tiled=True)
+        d, e = jax.vmap(lambda M: band_to_bidiagonal(M, band=b))(Ab)
+        return jax.vmap(bisect_svdvals)(d, e)[:, :n]
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P("dp", None, "tp"),
+        out_specs=P("dp", None),
+        check_vma=False,
+    )
+    return fn(As)
 
 
 def dense_to_band_shardmap(A, mesh, band=32):
@@ -91,80 +133,100 @@ def dense_to_band_shardmap(A, mesh, band=32):
     n_dev = mesh.shape["tp"]
     if n % b != 0 or n % n_dev != 0:
         raise ValueError(f"n={n} must divide by band={b} and tp={n_dev}")
-    n_loc = n // n_dev
-    dtype = A.dtype
-
-    def body(A_loc):  # (n, n_loc) per device
-        t = jax.lax.axis_index("tp")
-        col0 = t * n_loc  # global index of this device's first column
-
-        def panel_qr_local(P_panel, r_off):
-            """Replicated compact-WY panel factorization (b columns)."""
-            V = jnp.zeros((n, b), dtype)
-            T = jnp.zeros((b, b), dtype)
-            ridx = jnp.arange(n)
-
-            def col(j, carry):
-                Pp, V, T = carry
-                p = r_off + j
-                v, tau, beta = householder_vector(Pp[:, j], p)
-                Pp = Pp - tau * jnp.outer(v, pdot(v, Pp))
-                colj = jnp.where(ridx > p, jnp.zeros((), dtype), Pp[:, j])
-                pc = jnp.minimum(p, n - 1)
-                colj = colj.at[pc].set(jnp.where(p < n, beta, colj[pc]))
-                Pp = Pp.at[:, j].set(colj)
-                w = pdot(V.T, v)
-                T = T.at[:, j].set(-tau * pdot(T, w)).at[j, j].set(tau)
-                V = V.at[:, j].set(v)
-                return Pp, V, T
-
-            return lax.fori_loop(0, b, col, (P_panel, V, T))
-
-        def step(k, A_loc):
-            c = k * b
-            # --- QR: broadcast the owner's panel columns ---
-            lidx = jnp.arange(n_loc) + col0  # global indices of local cols
-            own = jnp.logical_and(lidx >= c, lidx < c + b)
-            contrib = jnp.where(own[None, :], A_loc, jnp.zeros((), dtype))
-            # scatter local columns into panel slots, then sum across devices
-            slot = jnp.clip(lidx - c, 0, b - 1)
-            panel_part = jnp.zeros((n, b), dtype).at[:, slot].add(
-                jnp.where(own[None, :], contrib, 0.0)
-            )
-            panel = jax.lax.psum(panel_part, "tp")  # replicated (n, b)
-            R, V, T = panel_qr_local(panel, c)
-            # local trailing update (no comm: columns are local)
-            W = pdot(V.T, A_loc)
-            A_loc = A_loc - pdot(V, pdot(T.T, W))
-            # owner writes R back into its columns
-            Rcols = R[:, slot]
-            A_loc = jnp.where(own[None, :], Rcols, A_loc)
-
-            # --- LQ: assemble the (b, n) row slab, factor on transpose ---
-            slab_loc = lax.dynamic_slice(A_loc, (c, jnp.zeros((), jnp.asarray(c).dtype)), (b, n_loc))
-            slab = jax.lax.all_gather(slab_loc, "tp", axis=1, tiled=True)
-            Rl, Vl, Tl = panel_qr_local(slab.T, c + b)  # V (n, b) row space
-            # right update: A V needs a psum over column shards
-            zero = jnp.zeros((), col0.dtype)
-            Vl_loc = lax.dynamic_slice(Vl, (col0, zero), (n_loc, b))
-            AV_part = pdot(A_loc, Vl_loc)
-            AV = jax.lax.psum(AV_part, "tp")  # (n, b) replicated
-            A_loc = A_loc - pdot(pdot(AV, Tl), Vl_loc.T)
-            # write the factored rows back (local slice of R^T)
-            Rrows = lax.dynamic_slice(Rl.T, (zero, col0), (b, n_loc))
-            A_loc = lax.dynamic_update_slice(A_loc, Rrows, (c, 0))
-            return A_loc
-
-        return lax.fori_loop(0, n // b, step, A_loc)
 
     fn = shard_map(
-        body,
+        functools.partial(_stage1_local, n=n, b=b, n_loc=n // n_dev),
         mesh=mesh,
         in_specs=P(None, "tp"),
         out_specs=P(None, "tp"),
         check_vma=False,
     )
     return fn(A)
+
+
+def _stage1_local(A_loc, *, n, b, n_loc):
+    """Per-device Stage I body (column-sharded over axis name ``tp``): the
+    panel-sweep schedule of models/two_stage.dense_to_band with hand-placed
+    psum/all_gather collectives.  See :func:`dense_to_band_shardmap`."""
+    dtype = A_loc.dtype
+    t = jax.lax.axis_index("tp")
+    col0 = t * n_loc  # global index of this device's first column
+
+    def panel_qr_local(P_panel, r_off):
+        """Replicated compact-WY panel factorization (b columns)."""
+        V = jnp.zeros((n, b), dtype)
+        T = jnp.zeros((b, b), dtype)
+        ridx = jnp.arange(n)
+
+        def col(j, carry):
+            Pp, V, T = carry
+            p = r_off + j
+            v, tau, beta = householder_vector(Pp[:, j], p)
+            Pp = Pp - tau * jnp.outer(v, pdot(v, Pp))
+            colj = jnp.where(ridx > p, jnp.zeros((), dtype), Pp[:, j])
+            pc = jnp.minimum(p, n - 1)
+            colj = colj.at[pc].set(jnp.where(p < n, beta, colj[pc]))
+            Pp = Pp.at[:, j].set(colj)
+            w = pdot(V.T, v)
+            T = T.at[:, j].set(-tau * pdot(T, w)).at[j, j].set(tau)
+            V = V.at[:, j].set(v)
+            return Pp, V, T
+
+        return lax.fori_loop(0, b, col, (P_panel, V, T))
+
+    def step(k, A_loc):
+        c = k * b
+        # --- QR: broadcast the owner's panel columns ---
+        lidx = jnp.arange(n_loc) + col0  # global indices of local cols
+        own = jnp.logical_and(lidx >= c, lidx < c + b)
+        contrib = jnp.where(own[None, :], A_loc, jnp.zeros((), dtype))
+        # scatter local columns into panel slots, then sum across devices
+        slot = jnp.clip(lidx - c, 0, b - 1)
+        panel_part = jnp.zeros((n, b), dtype).at[:, slot].add(
+            jnp.where(own[None, :], contrib, 0.0)
+        )
+        panel = jax.lax.psum(panel_part, "tp")  # replicated (n, b)
+        R, V, T = panel_qr_local(panel, c)
+        # local trailing update (no comm: columns are local)
+        W = pdot(V.T, A_loc)
+        A_loc = A_loc - pdot(V, pdot(T.T, W))
+        # owner writes R back into its columns
+        Rcols = R[:, slot]
+        A_loc = jnp.where(own[None, :], Rcols, A_loc)
+
+        # --- LQ: assemble the (b, n) row slab, factor on transpose ---
+        slab_loc = lax.dynamic_slice(A_loc, (c, jnp.zeros((), jnp.asarray(c).dtype)), (b, n_loc))
+        slab = jax.lax.all_gather(slab_loc, "tp", axis=1, tiled=True)
+        Rl, Vl, Tl = panel_qr_local(slab.T, c + b)  # V (n, b) row space
+        # right update: A V needs a psum over column shards
+        zero = jnp.zeros((), col0.dtype)
+        Vl_loc = lax.dynamic_slice(Vl, (col0, zero), (n_loc, b))
+        AV_part = pdot(A_loc, Vl_loc)
+        AV = jax.lax.psum(AV_part, "tp")  # (n, b) replicated
+        A_loc = A_loc - pdot(pdot(AV, Tl), Vl_loc.T)
+        # write the factored rows back (local slice of R^T)
+        Rrows = lax.dynamic_slice(Rl.T, (zero, col0), (b, n_loc))
+        A_loc = lax.dynamic_update_slice(A_loc, Rrows, (c, 0))
+        return A_loc
+
+    return lax.fori_loop(0, n // b, step, A_loc)
+
+
+def svdvals_sharded(A, mesh, band=32):
+    """Singular values of ONE large square matrix, multi-chip.
+
+    Composition: Stage I runs sharded over the mesh's ``tp`` axis with
+    explicit collectives (:func:`dense_to_band_shardmap` — the FLOP-heavy
+    part), then the small band matrix is replicated (one all-gather of
+    n*(band+1) values) and Stage II + bisection run locally — the band and
+    bidiagonal stages are memory-latency-bound and tiny, so sharding them
+    would only add ICI latency.
+    """
+    n = A.shape[0]
+    Ab = dense_to_band_shardmap(A, mesh, band=band)
+    Ab = jax.device_put(Ab, NamedSharding(mesh, P()))  # replicate the band
+    d, e = band_to_bidiagonal(Ab, band=band)
+    return bisect_svdvals(d, e)[:n]
 
 
 def dryrun(n_devices: int, platform=None) -> None:
@@ -192,6 +254,10 @@ def dryrun(n_devices: int, platform=None) -> None:
     s_band = np.linalg.svd(np.asarray(Ab, np.float64), compute_uv=False)
     s_ref = np.linalg.svd(np.asarray(A0, np.float64), compute_uv=False)
     assert np.max(np.abs(s_band - s_ref)) / s_ref[0] < 1e-4, "shard_map stage I"
+    # sharded single-matrix svdvals (stage I over tp, gathered band local)
+    sig1 = np.asarray(jax.block_until_ready(svdvals_sharded(A0, mesh, band=band)))
+    err1 = float(np.max(np.abs(sig1 - s_ref)) / s_ref[0])
+    assert err1 < 1e-4, f"svdvals_sharded mismatch vs LAPACK: {err1}"
     # GSPMD batch path (dp x tp shardings under jit); svdvals_batch_sharded
     # device_puts the raw numpy batch straight onto the mesh.
     As = rng.uniform(0.0, 5.0, (batch, n, n)).astype(np.float32)

@@ -49,3 +49,48 @@ def test_dryrun_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_svdvals_sharded_single_matrix(cpu_mesh, rng):
+    # one large matrix: Stage I sharded over tp, band gathered, local tail
+    from svdsolver_tpu.parallel.distributed import svdvals_sharded
+
+    n, band = 256, 32
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    sig = np.asarray(svdvals_sharded(A, cpu_mesh, band=band))
+    ref = np.linalg.svd(np.asarray(A, np.float64), compute_uv=False)
+    assert np.max(np.abs(sig - ref)) / ref[0] < 1e-4
+
+
+def test_batch_gspmd_matches(cpu_mesh, rng):
+    from svdsolver_tpu.parallel.distributed import svdvals_batch_sharded_gspmd
+
+    batch, n, band = 4, 32, 8
+    As = jnp.asarray(rng.uniform(0, 5, (batch, n, n)).astype(np.float32))
+    sig = np.asarray(svdvals_batch_sharded_gspmd(As, cpu_mesh, band=band))
+    ref = np.linalg.svd(np.asarray(As, np.float64), compute_uv=False)
+    assert np.max(np.abs(sig - ref) / ref[:, :1]) < 1e-4
+
+
+def test_batch_sharded_never_replicates_A(cpu_mesh):
+    """The default batch path uses explicit shard_map collectives; assert on
+    the compiled HLO that the ONLY full-matrix all-gather is the band gather
+    after Stage I — this test fails if anyone reintroduces a path where the
+    partitioner replicates A (the GSPMD variant measurably does)."""
+    import functools
+    import re
+    from svdsolver_tpu.parallel.distributed import svdvals_batch_sharded
+
+    batch, n, band = 4, 32, 8
+    As = np.zeros((batch, n, n), np.float32)
+    fn = jax.jit(
+        functools.partial(svdvals_batch_sharded, mesh=cpu_mesh, band=band)
+    )
+    txt = fn.lower(As).compile().as_text()
+    full_gathers = [
+        m
+        for m in re.findall(r"= \w+\[([^\]]*)\][^\n]*all-gather", txt)
+        if m.split(",")[-2:] == [str(n), str(n)]
+    ]
+    assert len(full_gathers) == 1, full_gathers  # exactly the band gather
+    assert "all-reduce" in txt  # the hand-placed psums survived compilation
