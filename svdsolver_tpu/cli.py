@@ -123,13 +123,50 @@ def cmd_bench(args):
 
 def cmd_check(args):
     _ensure_x64(args)
+    from svdsolver_tpu.models.svd import use_pallas
     from svdsolver_tpu.models.two_stage import dense_to_band, bidiagonalize_two_stage
     from svdsolver_tpu.utils import fixtures as fx
 
     n = args.size
     dtype = np.float64 if args.dtype == "double" else np.float32
-    band = args.band
     A0 = fx.load_fixture("test", n, dtype)
+    sig_ref = np.linalg.svd(A0.astype(np.float64), compute_uv=False)
+    tol = 1e-5 if dtype == np.float32 else 1e-10
+
+    if args.model == "tpu2":
+        # Flagship path: Pallas panel Stage I + Pallas chase + Pallas
+        # bisection, gated on sigma vs LAPACK (the band=4 fixtures are
+        # keyed to the reference's band-4 reduction — svd_cuda_2.cu:1300 —
+        # so at the flagship band only the sigma oracle applies).
+        if not use_pallas(dtype):
+            print("CHECK SKIPPED: tpu2 model needs a TPU backend and fp32")
+            return 0
+        from svdsolver_tpu.ops.pallas.panel_qr import dense_to_band_pallas
+        from svdsolver_tpu.ops.pallas.band_chase import band_to_bidiagonal_pallas
+        from svdsolver_tpu.ops.pallas.bisect import bisect_svdvals_pallas
+
+        band = args.band if args.band != 4 else (128 if n >= 256 else 16)
+        pad = (-n) % band
+        A = jnp.asarray(np.pad(A0, ((0, pad), (0, pad))))
+        t0 = time.perf_counter()
+        Ab = dense_to_band_pallas(A, band=band)
+        Abn = np.asarray(Ab)[:n, :n]
+        t_band = time.perf_counter() - t0
+        sig_band = np.linalg.svd(Abn.astype(np.float64), compute_uv=False)
+        rel_band = float(np.max(np.abs(sig_band - sig_ref[: len(sig_band)]))
+                         / sig_ref[0])
+        print(f"pallas band reduction N={n} band={band}: {t_band:.3f}s  "
+              f"max |sigma - sigma_lapack| / ||A||_2 = {rel_band:.3e}")
+        d, e = band_to_bidiagonal_pallas(Ab, band=band)
+        sig = np.asarray(bisect_svdvals_pallas(d, e))[:n]
+        rel = float(np.max(np.abs(sig - sig_ref)) / sig_ref[0])
+        print(f"pallas chase + bisection: "
+              f"max |sigma - sigma_lapack| / ||A||_2 = {rel:.3e}")
+        ok = rel_band < tol and rel < tol
+        print("CHECK PASSED" if ok else "CHECK FAILED")
+        return 0 if ok else 1
+
+    band = args.band
     pad = (-n) % band
     A = jnp.asarray(np.pad(A0, ((0, pad), (0, pad))))
 
@@ -151,11 +188,10 @@ def cmd_check(args):
     print(f"bidiagonalization N={n}: MSE vs fixture = {mse_bidiag:.3e}")
 
     # External oracle: singular values must match LAPACK to ~eps * ||A||.
-    sig_ref = np.linalg.svd(A0.astype(np.float64), compute_uv=False)
     sig = np.linalg.svd(B.astype(np.float64), compute_uv=False)
     rel = float(np.max(np.abs(sig - sig_ref)) / sig_ref[0])
     print(f"max |sigma - sigma_lapack| / ||A||_2 = {rel:.3e}")
-    ok = rel < (1e-5 if dtype == np.float32 else 1e-10)
+    ok = rel < tol
     print("CHECK PASSED" if ok else "CHECK FAILED")
     return 0 if ok else 1
 
@@ -200,6 +236,12 @@ def main(argv=None):
     pc.add_argument("size", type=int, choices=[64, 512])
     pc.add_argument("--band", type=int, default=4)
     pc.add_argument("--dtype", choices=["float", "double"], default="float")
+    pc.add_argument(
+        "--model", choices=["xla", "tpu2"], default="xla",
+        help="xla: reference-parity band-4 fixture MSE; tpu2: flagship "
+             "Pallas pipeline (panel Stage I + chase + bisection) gated on "
+             "sigma vs LAPACK",
+    )
     pc.set_defaults(fn=cmd_check)
 
     ps = sub.add_parser(

@@ -83,3 +83,11 @@ def test_check_double_dtype():
         pytest.skip("fixtures not present")
     rc = main(["check", "64", "--dtype", "double"])
     assert rc == 0
+
+
+def test_check_64_flagship_tpu2():
+    # the correctness gate must exercise the flagship Pallas pipeline
+    if not os.path.exists(os.path.join(REPO_DATA, "test_float_64_64.bin")):
+        pytest.skip("fixtures not present")
+    rc = main(["check", "64", "--model", "tpu2"])
+    assert rc == 0
