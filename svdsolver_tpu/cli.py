@@ -75,7 +75,14 @@ def cmd_bench(args):
         t2 = None
         if model == "diagonal":
             data = _make_bidiagonals(n, args.n_instances, rng, dtype)
-            solver = bidiagonal_svdvals if args.diag == "qr" else bisect_svdvals
+            if args.diag == "qr":
+                solver = bidiagonal_svdvals
+            elif use_pallas(dtype):
+                from svdsolver_tpu.ops.pallas.bisect import bisect_svdvals_pallas
+
+                solver = bisect_svdvals_pallas
+            else:
+                solver = bisect_svdvals
             t1 = benchmark(lambda de: solver(de[0], de[1]), data)
             print(f"\tN = {n} : {t1:g} sec (bidiagonal -> diagonal, {args.diag})")
         else:
@@ -100,7 +107,11 @@ def cmd_bench(args):
                     from svdsolver_tpu.ops.pallas.band_chase import (
                         band_to_bidiagonal_pallas,
                     )
+                    from svdsolver_tpu.ops.pallas.panel_qr import (
+                        dense_to_band_pallas,
+                    )
 
+                    stage1 = dense_to_band_pallas
                     stage2 = band_to_bidiagonal_pallas
                 t1 = benchmark(lambda A: stage1(A, band=args.block), data)
                 banded = [stage1(A, band=args.block) for A in data]
