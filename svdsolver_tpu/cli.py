@@ -57,7 +57,11 @@ def cmd_bench(args):
     from svdsolver_tpu.models.golub_kahan import bidiagonalize_gk_jit
     from svdsolver_tpu.models.blocked import bidiagonalize_blocked
     from svdsolver_tpu.models.two_stage import dense_to_band, band_to_bidiagonal
-    from svdsolver_tpu.models.diagonalize import bidiagonal_svdvals, bisect_svdvals
+    from svdsolver_tpu.models.diagonalize import (
+        bidiagonal_svdvals,
+        bisect_svdvals,
+        dqds_svdvals,
+    )
     from svdsolver_tpu.models.svd import use_pallas
     from svdsolver_tpu.utils.timing import benchmark
     from svdsolver_tpu.utils.csvout import write_benchmark_csv
@@ -77,6 +81,8 @@ def cmd_bench(args):
             data = _make_bidiagonals(n, args.n_instances, rng, dtype)
             if args.diag == "qr":
                 solver = bidiagonal_svdvals
+            elif args.diag == "dqds":
+                solver = dqds_svdvals
             elif use_pallas(dtype):
                 from svdsolver_tpu.ops.pallas.bisect import bisect_svdvals_pallas
 
@@ -237,7 +243,7 @@ def main(argv=None):
     pb.add_argument("n_instances", type=int)
     pb.add_argument("block", type=int, nargs="?", default=32)
     pb.add_argument("--dtype", choices=["float", "double"], default="float")
-    pb.add_argument("--diag", choices=["bisect", "qr"], default="bisect",
+    pb.add_argument("--diag", choices=["bisect", "qr", "dqds"], default="bisect",
                     help="diagonalization algorithm for the 'diagonal' model")
     pb.add_argument("--seed", type=int, default=0)
     pb.add_argument("--output", default=None)

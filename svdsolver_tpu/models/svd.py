@@ -15,7 +15,11 @@ from svdsolver_tpu.models.golub_kahan import bidiagonalize_gk
 from svdsolver_tpu.models.blocked import bidiagonalize_blocked
 from svdsolver_tpu.models.two_stage import dense_to_band, band_to_bidiagonal
 from svdsolver_tpu.models.tiled import dense_to_band_tiled
-from svdsolver_tpu.models.diagonalize import bidiagonal_svdvals, bisect_svdvals
+from svdsolver_tpu.models.diagonalize import (
+    bidiagonal_svdvals,
+    bisect_svdvals,
+    dqds_svdvals,
+)
 
 
 def use_pallas(dtype):
@@ -104,8 +108,10 @@ def svdvals(A, method="tpu2", block=None, diag="bisect"):
     """Singular values of ``A`` (any shape), sorted descending.
 
     End-to-end: bidiagonalize with the chosen model, then diagonalize.
-    ``diag``: 'bisect' (default — TPU-native parallel bisection) or 'qr'
-    (the reference's implicit-shift QR with deflation, svd_serial.h:368).
+    ``diag``: 'bisect' (default — TPU-native parallel bisection), 'qr'
+    (the reference's implicit-shift QR with deflation, svd_serial.h:368),
+    or 'dqds' (Fernando-Parlett differential qd — high relative accuracy
+    on graded spectra, with bisection fallback).
 
     Rectangular inputs are first reduced to a square triangular factor by a
     one-sided QR/LQ (sigma-preserving), then run through the square pipeline
@@ -127,7 +133,9 @@ def svdvals(A, method="tpu2", block=None, diag="bisect"):
         return bisect_svdvals(B.d, B.e)[:n]
     elif diag == "qr":
         return bidiagonal_svdvals(B.d, B.e)[:n]
-    raise ValueError(f"unknown diag {diag!r}; 'bisect' or 'qr'")
+    elif diag == "dqds":
+        return dqds_svdvals(B.d, B.e)[:n]
+    raise ValueError(f"unknown diag {diag!r}; 'bisect', 'qr' or 'dqds'")
 
 
 def svdvals_batch(As, block=None):

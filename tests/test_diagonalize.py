@@ -137,3 +137,56 @@ def test_full_svdvals_padding(rng):
     want = np.linalg.svd(np.asarray(A), compute_uv=False)
     got = np.asarray(svdvals(A, method="tpu2", block=8))
     np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9 * want[0])
+
+
+def test_dqds_random(rng):
+    from svdsolver_tpu.models.diagonalize import dqds_svdvals
+
+    for n in (8, 48, 120):
+        d = jnp.asarray(rng.normal(size=n))
+        e = jnp.asarray(rng.normal(size=n - 1))
+        got = np.asarray(dqds_svdvals(d, e))
+        B = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+        want = np.linalg.svd(B, compute_uv=False)
+        # normwise gate (the documented guarantee; the simple shift strategy
+        # can degrade interior relative accuracy on extreme-condition draws)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5 * want[0])
+
+
+def test_dqds_graded_relative_accuracy(rng):
+    # the property dqds exists for: high RELATIVE accuracy on graded spectra
+    # (fixed-count bisection only brackets to absolute ~||B||*2^-iters)
+    from svdsolver_tpu.models.diagonalize import dqds_svdvals, bisect_svdvals
+
+    n = 64
+    d = jnp.asarray(np.logspace(0, -12, n))
+    e = jnp.asarray(np.logspace(-1, -12, n - 1))
+    B = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+    want = np.linalg.svd(B, compute_uv=False)
+    got = np.asarray(dqds_svdvals(d, e))
+    rel = np.max(np.abs(got - want) / want)  # RELATIVE, every value
+    assert rel < 1e-11, rel
+    rel_bis = np.max(np.abs(np.asarray(bisect_svdvals(d, e)) - want) / want)
+    assert rel < rel_bis / 100  # decisively better than bisection here
+
+
+def test_dqds_fp32(rng):
+    from svdsolver_tpu.models.diagonalize import dqds_svdvals
+
+    n = 48
+    d = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=n - 1).astype(np.float32))
+    got = np.asarray(dqds_svdvals(d, e))
+    B = np.diag(np.asarray(d, np.float64)) + np.diag(np.asarray(e, np.float64), 1)
+    want = np.linalg.svd(B, compute_uv=False)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5 * want[0])
+
+
+def test_svdvals_diag_dqds(rng):
+    from svdsolver_tpu.models.svd import svdvals
+
+    n = 48
+    A = jnp.asarray(rng.uniform(0, 5, (n, n)).astype(np.float32))
+    got = np.asarray(svdvals(A, diag="dqds"))
+    want = np.linalg.svd(np.asarray(A, np.float64), compute_uv=False)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5 * want[0])
