@@ -46,9 +46,27 @@ def test_shardmap_stage1_matches_single_device(rng):
 
 
 def test_dryrun_entrypoint():
-    import __graft_entry__ as g
+    # dryrun_multichip pins the WHOLE process to the virtual CPU platform
+    # (clear_backends + jax_platforms=cpu) — exactly what the driver's
+    # standalone gate needs, but fatal to every later Pallas/TPU test in
+    # this process.  Run it the way the driver does: in its own process.
+    import os
+    import subprocess
+    import sys
 
-    g.dryrun_multichip(8)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__ as g; g.dryrun_multichip(8)",
+        ],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
 
 
 def test_svdvals_sharded_single_matrix(cpu_mesh, rng):
