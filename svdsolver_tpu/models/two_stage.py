@@ -287,6 +287,14 @@ def band_to_bidiagonal_accum(A, band=32):
 
     Same schedule and arithmetic as :func:`band_to_bidiagonal` (the
     reference's brd_p2, svd_parallel.h:639) — differential-tested.
+
+    Implementation note: records are emitted as ``lax.scan`` outputs with only
+    small per-sweep buffers in the inner-loop carry.  An earlier version
+    scatter-updated the full ``(n-1, s_max, b)`` arrays inside the nested
+    dynamic-trip loops; that shape miscompiles on the TPU backend (records
+    came back with impossible values — reflector entries must satisfy
+    ``|v| <= 1`` under larfg scaling — while the same program is exact on
+    CPU), so keep the giant arrays out of loop carries.
     """
     n = A.shape[0]
     dtype = A.dtype
@@ -298,10 +306,6 @@ def band_to_bidiagonal_accum(A, band=32):
     Ap = jnp.pad(A, ((0, pad), (0, pad)))
     step = w - 1
     s_max = max(0, -(-(n - (2 * w - 1)) // step)) + 2  # top + max chase slots
-    VL = jnp.zeros((n - 1, s_max, b), dtype)
-    TL = jnp.zeros((n - 1, s_max), dtype)
-    VR = jnp.zeros((n - 1, s_max, b), dtype)
-    TR = jnp.zeros((n - 1, s_max), dtype)
 
     def top_pair(W):
         v, tau, _ = householder_vector(W[0, : w - 1], 0)
@@ -321,46 +325,40 @@ def band_to_bidiagonal_accum(A, band=32):
         W = W.at[w - 1 :, :].set(Ws - tau2 * jnp.outer(v2, pdot(v2, Ws)))
         return W, v, tau, v2, tau2
 
-    def sweep(i, carry):
+    def sweep(Ap, i):
         i = jnp.int32(i)
-        Ap, VL, TL, VR, TR = carry
         W = lax.dynamic_slice(Ap, (i, i + 1), (w, 2 * w - 2))
         W, vr, tr, vl, tl = top_pair(W)
         Ap = lax.dynamic_update_slice(Ap, W, (i, i + 1))
         zero = jnp.int32(0)
-        VR = lax.dynamic_update_slice(VR, vr[None, None, :], (i, zero, zero))
-        TR = TR.at[i, 0].set(tr)
-        VL = lax.dynamic_update_slice(
-            VL, vl[: w - 1][None, None, :], (i, zero, zero)
-        )
-        TL = TL.at[i, 0].set(tl)
+        vR = jnp.zeros((s_max, b), dtype).at[0].set(vr)
+        tR = jnp.zeros((s_max,), dtype).at[0].set(tr)
+        vL = jnp.zeros((s_max, b), dtype).at[0].set(vl[: w - 1])
+        tL = jnp.zeros((s_max,), dtype).at[0].set(tl)
         n_chase = lax.max(
             jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // step)
         ) + 1
 
         def chase(k, carry):
-            Ap, VL, TL, VR, TR = carry
+            Ap, vR, tR, vL, tL = carry
             r = i + 1 + k * step
             c = i + 1 + (k + 1) * step
             W = lax.dynamic_slice(Ap, (r, c), (2 * w - 2, 2 * w - 2))
             W, vr, tr, vl, tl = chase_pair(W)
             Ap = lax.dynamic_update_slice(Ap, W, (r, c))
             k1 = jnp.int32(k) + 1
-            VR = lax.dynamic_update_slice(
-                VR, vr[None, None, :], (i, k1, jnp.int32(0))
-            )
-            TR = TR.at[i, k1].set(tr)
-            VL = lax.dynamic_update_slice(
-                VL, vl[: w - 1][None, None, :], (i, k1, jnp.int32(0))
-            )
-            TL = TL.at[i, k1].set(tl)
-            return Ap, VL, TL, VR, TR
+            vR = lax.dynamic_update_slice(vR, vr[None, :], (k1, zero))
+            tR = tR.at[k1].set(tr)
+            vL = lax.dynamic_update_slice(vL, vl[: w - 1][None, :], (k1, zero))
+            tL = tL.at[k1].set(tl)
+            return Ap, vR, tR, vL, tL
 
-        return lax.fori_loop(0, n_chase, chase, (Ap, VL, TL, VR, TR))
+        Ap, vR, tR, vL, tL = lax.fori_loop(
+            0, n_chase, chase, (Ap, vR, tR, vL, tL)
+        )
+        return Ap, (vL, tL, vR, tR)
 
-    Ap, VL, TL, VR, TR = lax.fori_loop(
-        0, n - 1, sweep, (Ap, VL, TL, VR, TR)
-    )
+    Ap, (VL, TL, VR, TR) = lax.scan(sweep, Ap, jnp.arange(n - 1))
     B = Ap[:n, :n]
     return jnp.diag(B), jnp.diag(B, 1), VL, TL, VR, TR
 

@@ -16,9 +16,14 @@ Two pieces:
 
 Clustered or exactly-multiple singular values: inverse iteration alone would
 return nearly-parallel columns there, so :func:`tgk_vectors` re-orthogonalizes
-within detected clusters in TGK space (which preserves the U/V coupling).
-Remaining limitation: clusters wider than 8 are only orthogonalized against
-their nearest 7 neighbors.
+within detected tight clusters in TGK space (which preserves the U/V
+coupling), and finishes with a Newton-Schulz polar polish — a few MXU GEMMs
+that restore machine-level orthogonality across *dense* spectra (a random
+n=2048 matrix has ~1e2..1e3 eps-relative gaps throughout its bulk, where
+per-lane inverse iteration leaves ~1e-3 cross-talk; LAPACK's dstein handles
+this with O(n^2)-depth sequential MGS groups, a shape TPUs hate).
+Remaining limitation: tight clusters wider than 8 are only orthogonalized
+against their nearest 7 neighbors before the polar polish.
 
 :func:`svd_two_stage` runs the flagship two-stage pipeline with full
 back-transformation of the Stage-I compact-WY factors and the recorded
@@ -183,7 +188,20 @@ def tgk_vectors(d, e, sig, iters=3):
     N = 2 * n
     dtype = d.dtype
     z = jnp.zeros((N - 1,), dtype).at[0::2].set(d).at[1::2].set(e)
-    pert = jnp.asarray(float(jnp.finfo(dtype).tiny) ** 0.5, dtype)
+    smax = jnp.max(jnp.abs(sig))
+    # LAPACK-dstein-style pivot floor: partial pivoting bounds the forward
+    # multipliers by 1, but the BACK substitution divides by the stored
+    # pivots — two consecutive near-zero pivots overflow fp32 to inf and the
+    # next fused multiply-add turns inf - inf into NaN (observed at n >= 1024
+    # on dense random spectra).  Clamp pivot magnitude from below, and clip
+    # the solution growth: inverse iteration only needs the dominant
+    # direction, and later iterations + the final polar polish absorb the
+    # (rare, per-entry) clip distortion.
+    eps_ = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    pivmin = jnp.maximum(
+        smax * eps_ * eps_, jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    )
+    big = jnp.asarray(float(jnp.finfo(dtype).max) ** 0.5 / 16.0, dtype)
     lam = sig
 
     def solve(rhs):
@@ -210,7 +228,8 @@ def tgk_vectors(d, e, sig, iters=3):
             q1 = jnp.where(swap, cc, bi)
             q2 = jnp.where(swap, dd, ci)
             qy = jnp.where(swap, y, yi)
-            safe = jnp.where(p0 == 0, pert, p0)
+            psign = jnp.where(p0 < 0, -jnp.ones((), dtype), jnp.ones((), dtype))
+            safe = jnp.where(jnp.abs(p0) < pivmin, psign * pivmin, p0)
             mlt = q0 / safe
             U0 = U0.at[i - 1].set(safe)
             U1 = U1.at[i - 1].set(p1)
@@ -229,7 +248,10 @@ def tgk_vectors(d, e, sig, iters=3):
 
         carry = (b0, c0, jnp.zeros((n,), dtype), rhs[0], rhs, U0, U1, U2)
         b, cc, dd, y, rhs_, U0, U1, U2 = lax.fori_loop(1, N, fwd, carry)
-        U0 = U0.at[N - 1].set(jnp.where(b == 0, pert, b))
+        bsign = jnp.where(b < 0, -jnp.ones((), dtype), jnp.ones((), dtype))
+        U0 = U0.at[N - 1].set(
+            jnp.where(jnp.abs(b) < pivmin, bsign * pivmin, b)
+        )
         rhs_ = rhs_.at[N - 1].set(y)
 
         def bwd(k, sol):
@@ -237,6 +259,7 @@ def tgk_vectors(d, e, sig, iters=3):
             s1 = jnp.where(i + 1 < N, sol[jnp.minimum(i + 1, N - 1)], 0.0)
             s2 = jnp.where(i + 2 < N, sol[jnp.minimum(i + 2, N - 1)], 0.0)
             v = (rhs_[i] - U1[i] * s1 - U2[i] * s2) / U0[i]
+            v = jnp.clip(v, -big, big)  # bound growth; see pivmin note above
             return sol.at[i].set(v)
 
         return lax.fori_loop(0, N, bwd, jnp.zeros((N, n), dtype))
@@ -245,10 +268,16 @@ def tgk_vectors(d, e, sig, iters=3):
 
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-    # multiplets of A spread by the reduction's backward error (~n*eps*smax)
-    # before reaching the bidiagonal, so the cluster net must be that wide
-    ctol = max(64, 2 * n) * eps
-    smax = jnp.max(jnp.abs(sig))
+    # Tight-cluster net: gaps below ~64 ulp of sig_max are where per-lane
+    # inverse iteration COLLAPSES lanes onto the same vector (shift accuracy
+    # is ~eps*smax, so the amplification ratio gap/eps/smax is too small to
+    # separate them) — those need the v-MGS + u-rebuild coupling below.
+    # Wider but still small gaps (the dense bulk of a random spectrum sits at
+    # ~1e2..1e3 eps) resolve per-lane and the final polar polish removes
+    # their residual ~eps*smax/gap cross-talk.  A wide net here (earlier:
+    # max(64, 2n)*eps) is actively harmful at scale: it declares the whole
+    # bulk one giant cluster that width-8 MGS cannot orthogonalize.
+    ctol = 64 * eps
     linked = jnp.abs(sig[1:] - sig[:-1]) <= ctol * smax
     has_cluster = jnp.any(linked)
     in_cluster = jnp.zeros((n,), bool).at[1:].set(linked)
@@ -304,8 +333,32 @@ def tgk_vectors(d, e, sig, iters=3):
         return lax.cond(has_cluster, couple_clusters, lambda x: x, x)
 
     x = lax.fori_loop(0, int(iters), it, x)
-    sqrt2 = jnp.sqrt(jnp.asarray(2.0, dtype))
-    return x[1::2] * sqrt2, x[0::2] * sqrt2  # (U_b, V_b)
+
+    # Final polar polish: Newton-Schulz X <- X(3I - X^T X)/2 converges to the
+    # nearest orthonormal basis (quadratically for ||X^T X - I|| < 1, which
+    # per-lane inverse iteration + the cluster coupling guarantee).  Dense
+    # random spectra leave ~eps*smax/gap ~ 1e-3..1e-2 pairwise cross-talk in
+    # fp32 that no per-lane method can avoid; four GEMM pairs on the MXU
+    # restore ~1e-6 orthogonality while perturbing each column only by its
+    # existing cross-talk (so eigen-residuals are preserved to first order).
+    # Orthogonalizing in TGK x-space keeps the U/V coupling (see
+    # couple_clusters); the -sigma twin contamination this cannot see is
+    # bounded by residual/(2 sigma), negligible away from sigma ~ 0.
+    eye = jnp.eye(n, dtype=dtype)
+
+    def polish(k, x):
+        G = pdot(x.T, x)
+        return pdot(x, 1.5 * eye - 0.5 * G)
+
+    x = lax.fori_loop(0, 4, polish, x)
+
+    u = x[1::2]
+    v = x[0::2]
+    # exact TGK eigenvectors split norm equally (1/sqrt(2) each); after the
+    # polish the split can deviate at the residual level — renormalize parts
+    u = u / jnp.maximum(jnp.linalg.norm(u, axis=0, keepdims=True), tiny)
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True), tiny)
+    return u, v  # (U_b, V_b)
 
 
 def bidiagonal_svd(d, e):
