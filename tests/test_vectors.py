@@ -95,6 +95,25 @@ def test_two_stage_svd_repeated_sigma(rng):
     assert np.abs(U @ np.diag(s) @ Vh - np.asarray(A)).max() < 1e-4 * svals[0]
 
 
+def test_two_stage_svd_large_dense_spectrum(rng):
+    # Regression for two scale-only failures: (a) chase-record corruption on
+    # TPU when the accumulating chase carried the full record arrays through
+    # nested loops (garbage reflectors at n >= 512), and (b) inverse-iteration
+    # NaN from fp32 back-substitution overflow on dense random spectra.
+    # A random Gaussian matrix has ~1e2..1e3*eps relative gaps throughout its
+    # bulk — the hard case for per-lane inverse iteration.
+    n = 512
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    U, s, Vh = svd(A, method="tpu2")
+    U, s, Vh = np.asarray(U), np.asarray(s), np.asarray(Vh)
+    assert np.isfinite(U).all() and np.isfinite(Vh).all()
+    want = np.linalg.svd(np.asarray(A, np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, want, rtol=0, atol=1e-5 * want[0])
+    assert np.abs(U @ np.diag(s) @ Vh - np.asarray(A)).max() < 1e-4 * want[0]
+    assert np.abs(U.T @ U - np.eye(n)).max() < 1e-4
+    assert np.abs(Vh @ Vh.T - np.eye(n)).max() < 1e-4
+
+
 def test_two_stage_svd_f64_repeated(rng):
     n = 96
     Q1, _ = np.linalg.qr(rng.normal(size=(n, n)))
