@@ -206,19 +206,20 @@ def tgk_vectors(d, e, sig, iters=3):
 
     def solve(rhs):
         """(TGK - diag-per-lane(lam)) x = rhs; tridiagonal LU with partial
-        pivoting, band-2 upper factor; lanes vectorized."""
-        U0 = jnp.zeros((N, n), dtype)
-        U1 = jnp.zeros((N, n), dtype)
-        U2 = jnp.zeros((N, n), dtype)
-        b0 = -lam
-        c0 = jnp.broadcast_to(z[0], (n,)).astype(dtype)
+        pivoting, band-2 upper factor; lanes vectorized.
 
-        def fwd(i, carry):
-            b, cc, dd, y, rhs_, U0, U1, U2 = carry
-            ai = z[i - 1]
+        Both substitution passes are ``lax.scan``s emitting factor/solution
+        rows as scan outputs — scatter-updating (N, n) carries per step is
+        both slower and the shape that miscompiles on the TPU backend (see
+        two_stage.band_to_bidiagonal_accum)."""
+        zero_row = jnp.zeros((n,), dtype)
+        c_xs = jnp.concatenate([z[1:], jnp.zeros((1,), dtype)])
+
+        def fwd(carry, x):
+            b, cc, dd, y = carry
+            ai, ci_s, yi = x
             bi = -lam
-            ci = jnp.where(i < N - 1, z[jnp.minimum(i, N - 2)], jnp.zeros((), dtype))
-            yi = rhs_[i]
+            ci = jnp.broadcast_to(ci_s, (n,)).astype(dtype)
             swap = jnp.abs(ai) > jnp.abs(b)
             p0 = jnp.where(swap, ai, b)
             p1 = jnp.where(swap, bi, cc)
@@ -231,38 +232,31 @@ def tgk_vectors(d, e, sig, iters=3):
             psign = jnp.where(p0 < 0, -jnp.ones((), dtype), jnp.ones((), dtype))
             safe = jnp.where(jnp.abs(p0) < pivmin, psign * pivmin, p0)
             mlt = q0 / safe
-            U0 = U0.at[i - 1].set(safe)
-            U1 = U1.at[i - 1].set(p1)
-            U2 = U2.at[i - 1].set(p2)
-            rhs_ = rhs_.at[i - 1].set(py)
-            return (
-                q1 - mlt * p1,
-                q2 - mlt * p2,
-                jnp.zeros((n,), dtype),
-                qy - mlt * py,
-                rhs_,
-                U0,
-                U1,
-                U2,
-            )
+            carry = (q1 - mlt * p1, q2 - mlt * p2, zero_row, qy - mlt * py)
+            return carry, (safe, p1, p2, py)
 
-        carry = (b0, c0, jnp.zeros((n,), dtype), rhs[0], rhs, U0, U1, U2)
-        b, cc, dd, y, rhs_, U0, U1, U2 = lax.fori_loop(1, N, fwd, carry)
-        bsign = jnp.where(b < 0, -jnp.ones((), dtype), jnp.ones((), dtype))
-        U0 = U0.at[N - 1].set(
-            jnp.where(jnp.abs(b) < pivmin, bsign * pivmin, b)
+        init = (-lam, jnp.broadcast_to(z[0], (n,)).astype(dtype), zero_row, rhs[0])
+        (b, _, _, y), (U0, U1, U2, R) = lax.scan(
+            fwd, init, (z, c_xs, rhs[1:]), unroll=4
         )
-        rhs_ = rhs_.at[N - 1].set(y)
+        bsign = jnp.where(b < 0, -jnp.ones((), dtype), jnp.ones((), dtype))
+        last = jnp.where(jnp.abs(b) < pivmin, bsign * pivmin, b)
+        U0 = jnp.concatenate([U0, last[None]], axis=0)
+        U1 = jnp.concatenate([U1, zero_row[None]], axis=0)
+        U2 = jnp.concatenate([U2, zero_row[None]], axis=0)
+        R = jnp.concatenate([R, y[None]], axis=0)
 
-        def bwd(k, sol):
-            i = N - 1 - k
-            s1 = jnp.where(i + 1 < N, sol[jnp.minimum(i + 1, N - 1)], 0.0)
-            s2 = jnp.where(i + 2 < N, sol[jnp.minimum(i + 2, N - 1)], 0.0)
-            v = (rhs_[i] - U1[i] * s1 - U2[i] * s2) / U0[i]
+        def bwd(carry, x):
+            s1, s2 = carry
+            u0, u1, u2, r = x
+            v = (r - u1 * s1 - u2 * s2) / u0
             v = jnp.clip(v, -big, big)  # bound growth; see pivmin note above
-            return sol.at[i].set(v)
+            return (v, s1), v
 
-        return lax.fori_loop(0, N, bwd, jnp.zeros((N, n), dtype))
+        _, sol = lax.scan(
+            bwd, (zero_row, zero_row), (U0, U1, U2, R), reverse=True, unroll=4
+        )
+        return sol
 
     x = jax.random.normal(jax.random.PRNGKey(0), (N, n), dtype)
 
@@ -312,8 +306,18 @@ def tgk_vectors(d, e, sig, iters=3):
             jnp.linalg.norm(Uc, axis=0, keepdims=True), tiny
         )
         usable = jnp.logical_and(in_cluster, sig > 1e-3 * smax)
+        # near-zero-sigma clusters: u = Bv/sigma is ill-conditioned and the
+        # +/-sigma TGK twins degenerate, leaving inverse-iteration u-parts
+        # parallel.  There the u/v coupling is vacuous (B^T u = sigma v ~ 0),
+        # so orthogonalize the u-parts directly within the cluster.
+        Un = _cluster_orthogonalize(u, sig, ctol)
+        Un = Un / jnp.maximum(
+            jnp.linalg.norm(Un, axis=0, keepdims=True), tiny
+        )
         v = jnp.where(in_cluster[None, :], Vc, v)
-        u = jnp.where(usable[None, :], Uc, u)
+        u = jnp.where(
+            usable[None, :], Uc, jnp.where(in_cluster[None, :], Un, u)
+        )
         x = x.at[0::2].set(v).at[1::2].set(u)
         return x / jnp.maximum(
             jnp.linalg.norm(x, axis=0, keepdims=True), tiny
@@ -363,7 +367,14 @@ def tgk_vectors(d, e, sig, iters=3):
 
 def bidiagonal_svd(d, e):
     """Full SVD of the bidiagonal {d, e}: returns (U_b, sig, V_b)."""
-    sig = bisect_svdvals(d, e)
+    from svdsolver_tpu.models.svd import use_pallas
+
+    if use_pallas(d.dtype):
+        from svdsolver_tpu.ops.pallas.bisect import bisect_svdvals_pallas
+
+        sig = bisect_svdvals_pallas(d, e)
+    else:
+        sig = bisect_svdvals(d, e)
     U_b, V_b = tgk_vectors(d, e, sig)
     return U_b, sig, V_b
 
@@ -423,7 +434,7 @@ def svd_two_stage(A, band=None):
     The reference's two-stage *documents* U1/V1 outputs it never produces
     (svd_parallel.h:400-407); this delivers them.
     """
-    from svdsolver_tpu.models.svd import _auto_block
+    from svdsolver_tpu.models.svd import _auto_block, use_pallas
     from svdsolver_tpu.models.two_stage import (
         dense_to_band_uv,
         band_to_bidiagonal_accum,
@@ -439,7 +450,15 @@ def svd_two_stage(A, band=None):
     if pad:
         A = jnp.pad(A, ((0, pad), (0, pad)))
     Ab, U1, V1 = dense_to_band_uv(A, band=b)
-    d, e, VL, TL, VR, TR = band_to_bidiagonal_accum(Ab, band=b)
+    if use_pallas(A.dtype) and b % 8 == 0:
+        # single-launch device-resident chase with record accumulation
+        from svdsolver_tpu.ops.pallas.band_chase import (
+            band_to_bidiagonal_pallas_accum,
+        )
+
+        d, e, VL, TL, VR, TR = band_to_bidiagonal_pallas_accum(Ab, band=b)
+    else:
+        d, e, VL, TL, VR, TR = band_to_bidiagonal_accum(Ab, band=b)
     U_b, s, V_b = bidiagonal_svd(d, e)
     LU = _apply_chase_reflectors(VL, TL, U_b, b, reverse=True)   # L @ Ub
     RV = _apply_chase_reflectors(VR, TR, V_b, b, reverse=True)   # R @ Vb

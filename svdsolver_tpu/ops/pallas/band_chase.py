@@ -115,6 +115,220 @@ def _masked_pair_eliminate(W, ro, co, lp, b):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
+def _masked_pair_eliminate_rec(W, ro, co, lp, b):
+    """As :func:`_masked_pair_eliminate`, additionally returning the two
+    reflectors: ``(W, v_r, tau_r, v_l, tau_l)`` with ``v_r`` the (1, CR) right
+    (row) reflector in buffer-aligned form (pivot 1 at lane ``co``) and
+    ``v_l`` the (nr, 1) left (column) reflector (pivot at sublane ``ro``
+    within the ``[lp, lp+b+8)`` sub-buffer).
+
+    MUST stay arithmetically identical to ``_masked_pair_eliminate`` — the
+    differential test asserts bitwise-equal (d, e) between the recording and
+    plain kernels.  Kept as a separate function so the non-recording hot path
+    carries no record-extraction ops.
+    """
+    wr, wc = W.shape
+    dtype = W.dtype
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+
+    CR = min(b + 128, wc)
+    Wr = W[:, :CR]
+    ci = lax.broadcasted_iota(jnp.int32, (1, CR), 1)
+    ri = lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
+    xrow = jnp.sum(jnp.where(ri == ro, Wr, zero), axis=0, keepdims=True)
+    tail = jnp.logical_and(ci > co, ci < co + b)
+    xt = jnp.where(tail, xrow, zero)
+    pivot = jnp.sum(jnp.where(ci == co, xrow, zero))
+    sigma2 = jnp.sum(xt * xt)
+    norm = jnp.sqrt(pivot * pivot + sigma2)
+    sign = jnp.where(pivot >= 0, one, -one)
+    beta = -sign * norm
+    trivial = sigma2 == 0
+    denom = jnp.where(trivial, one, pivot - beta)
+    v = jnp.where(tail, xt / denom, zero) + jnp.where(ci == co, one, zero)
+    safe_beta = jnp.where(beta == 0, one, beta)
+    tau = jnp.where(trivial, zero, (beta - pivot) / safe_beta)
+    u = jnp.sum(Wr * v, axis=1, keepdims=True)
+    parts = [Wr - (tau * u) * v] + ([W[:, CR:]] if CR < wc else [])
+    W = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+    RL, RH = lp, min(lp + b + 8, wr)
+    Ws = W[RL:RH, :]
+    nr = RH - RL
+    ri2 = lax.broadcasted_iota(jnp.int32, (nr, 1), 0) + RL
+    ro2 = ro + lp
+    ci2 = lax.broadcasted_iota(jnp.int32, (1, min(128, wc)), 1)
+    xcol = jnp.sum(
+        jnp.where(ci2 == co, Ws[:, : min(128, wc)], zero),
+        axis=1,
+        keepdims=True,
+    )
+    tail2 = jnp.logical_and(ri2 > ro2, ri2 < ro2 + b)
+    xt2 = jnp.where(tail2, xcol, zero)
+    pivot2 = jnp.sum(jnp.where(ri2 == ro2, xcol, zero))
+    sigma2_2 = jnp.sum(xt2 * xt2)
+    norm2 = jnp.sqrt(pivot2 * pivot2 + sigma2_2)
+    sign2 = jnp.where(pivot2 >= 0, one, -one)
+    beta2 = -sign2 * norm2
+    trivial2 = sigma2_2 == 0
+    denom2 = jnp.where(trivial2, one, pivot2 - beta2)
+    v2 = jnp.where(tail2, xt2 / denom2, zero) + jnp.where(ri2 == ro2, one, zero)
+    safe_beta2 = jnp.where(beta2 == 0, one, beta2)
+    tau2 = jnp.where(trivial2, zero, (beta2 - pivot2) / safe_beta2)
+    u2 = jnp.sum(v2 * Ws, axis=0, keepdims=True)
+    parts = (
+        ([W[:RL, :]] if RL > 0 else [])
+        + [Ws - (tau2 * v2) * u2]
+        + ([W[RH:, :]] if RH < wr else [])
+    )
+    W = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    return W, v, tau, v2, tau2
+
+
+def _chase_kernel_rec(
+    n, b, s_max,
+    A_in,
+    A_out, VRr, VLr,
+    W, RVR, RVL,
+    sem_full, sem_w, sems_rec,
+):
+    """Sequential chase kernel that also RECORDS every reflector.
+
+    Records accumulate in small VMEM scratch buffers (one row per slot of the
+    current sweep) and flush to the HBM outputs once per sweep — so record
+    traffic adds 2 DMA issues per *sweep* against the data path's 2 per
+    *pair*, keeping the kernel's measured DMA-issue bound intact.
+
+    Record layout (2-D, row ``i*s_max + s``; reshaped to (n-1, s_max, b) by
+    the host wrapper): reflectors are CANONICALIZED in-kernel — a dynamic
+    lane rotate (``pltpu.roll``) moves the pivot to lane 0, so
+    ``VRr/VLr[i*s_max+s, :b]`` is exactly the reflector over its support
+    ``[i+1+s*b, i+1+(s+1)*b)``.  Host-side shifting is not an option: both a
+    lane gather (costs as much as the whole chase, 83 ms vs 85 ms at n=2048)
+    and its grouped static-slice equivalent (miscompiles) lost to this.
+
+    Taus are NOT recorded: the wrapper recovers them from the larfg identity
+    ``tau = 2 / (v^T v)`` (exact: v^T v = 1 + ||tail||^2 = 2*beta*(beta -
+    alpha)/(alpha-beta)^2 gives (beta-alpha)/beta).  Stale-slot guard: the v
+    scratch is zeroed per sweep, and an all-zero record maps to tau = 0 —
+    an exact no-op in the back-transform.
+    """
+    wr = 2 * b + 8
+    wc = -(-2 * b // 128) * 128 + 128
+    w = b + 1
+    CR = min(b + 128, wc)
+    CRA = -(-CR // 128) * 128  # dynamic_rotate needs lane-aligned shapes
+    RW = VRr.shape[1]
+    dtype = A_out.dtype
+    nr = b + 8
+
+    full = pltpu.make_async_copy(A_in, A_out, sem_full)
+    full.start()
+    full.wait()
+
+    cj_l = lax.broadcasted_iota(jnp.int32, (nr, CRA), 1)
+    ri_l = lax.broadcasted_iota(jnp.int32, (nr, CRA), 0)
+
+    per_sweep_roll = b % 128 == 0
+
+    def do_pair(pr, pc, lp, s):
+        r0 = (pr // 8) * 8
+        c0 = (pc // 128) * 128
+        cin = pltpu.make_async_copy(
+            A_out.at[pl.ds(r0, wr), pl.ds(c0, wc)], W.at[:wr, :wc], sem_w
+        )
+        cin.start()
+        cin.wait()
+        Wn, vr, tr, vl, tl = _masked_pair_eliminate_rec(
+            W[:wr, :wc], pr - r0, pc - c0, lp, b
+        )
+        W[:wr, :wc] = Wn
+        # canonicalization (pivot to lane 0; v is zero outside its support, so
+        # the circular wrap brings in only zeros): when b % 128 == 0, the lane
+        # offset is sweep-invariant and the rotate happens ONCE per sweep on
+        # the whole record buffer (see sweep below) — per-pair dynamic rotates
+        # measured ~12 us/pair of pure overhead.
+        if CRA > CR:
+            vr = jnp.concatenate(
+                [vr, jnp.zeros((1, CRA - CR), dtype)], axis=1
+            )
+        if not per_sweep_roll:
+            vr = pltpu.roll(vr, -(pc - c0), axis=1)
+        # column -> row transpose via mask-reduce on the VPU (Mosaic has no
+        # cheap (nr, 1) transpose); vl row j = vl column entry j
+        vl_row = jnp.sum(
+            jnp.where(cj_l == ri_l, vl, jnp.zeros((), dtype)),
+            axis=0,
+            keepdims=True,
+        )
+        if not per_sweep_roll:
+            vl_row = pltpu.roll(vl_row, -(pr - r0), axis=1)
+        # trivial reflectors must record as ZERO rows (not e0): the host maps
+        # an all-zero record to tau = 0; e0 would map to tau = 2
+        vr = jnp.where(tr == 0, jnp.zeros((), dtype), vr)
+        vl_row = jnp.where(tl == 0, jnp.zeros((), dtype), vl_row)
+        RVR[pl.ds(s, 1), :] = vr
+        RVL[pl.ds(s, 1), :] = vl_row
+        cout = pltpu.make_async_copy(
+            W.at[:wr, :wc], A_out.at[pl.ds(r0, wr), pl.ds(c0, wc)], sem_w
+        )
+        cout.start()
+        cout.wait()
+
+    def sweep(i, carry):
+        RVR[:] = jnp.zeros(RVR.shape, dtype)
+        RVL[:] = jnp.zeros(RVL.shape, dtype)
+        # slot index must be a traced value: a constant pl.ds start here (with
+        # traced ones in the chase loop below) trips a PyTreeDef mismatch in
+        # the Mosaic swap lowering
+        do_pair(i, i + 1, 1, i * 0)
+        n_chase = (
+            jnp.maximum(jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // b))
+            + 1
+        )
+
+        def chase(k, carry):
+            r = i + 1 + k * b
+            do_pair(r, r + b, b, k + 1)
+            return carry
+
+        lax.fori_loop(jnp.int32(0), n_chase, chase, carry)
+        if per_sweep_roll:  # noqa: SIM108 — traced-index store quirk below
+            # One rotate for the whole sweep's records.  All chase slots share
+            # lane offset co = (i+1) % 128 and ro = (i+1) % 8 (b % 128 == 0);
+            # the top slot's left offset is i % 8 = ro - 1 shifted one extra.
+            co = lax.rem(i + 1, jnp.int32(128))
+            ro = lax.rem(i + 1, jnp.int32(8))
+            RVR[:] = pltpu.roll(RVR[:], -co, axis=1)
+            vl_all = pltpu.roll(RVL[:], -ro, axis=1)
+            top_fix = pltpu.roll(
+                RVL[pl.ds(i * 0, 1), :], -lax.rem(i, jnp.int32(8)), axis=1
+            )
+            RVL[:] = vl_all
+            RVL[pl.ds(i * 0, 1), :] = top_fix
+        row = i * s_max
+        flushes = [
+            pltpu.make_async_copy(
+                RVR.at[:, pl.ds(0, RW)],
+                VRr.at[pl.ds(row, s_max)],
+                sems_rec.at[0],
+            ),
+            pltpu.make_async_copy(
+                RVL.at[:, pl.ds(0, RW)],
+                VLr.at[pl.ds(row, s_max)],
+                sems_rec.at[1],
+            ),
+        ]
+        for cp in flushes:
+            cp.start()
+        for cp in flushes:
+            cp.wait()
+        return carry
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n - 1), sweep, 0)
+
+
 def _chase_kernel(n, b, K, A_in, A_out, W, sem_full, sem_w):
     """K-hop chase kernel: each DMA'd mega-window covers K consecutive chase
     pairs, eliminated on aligned static sub-views — K-fold fewer DMA issues
@@ -579,6 +793,79 @@ def band_to_bidiagonal_pallas(
         if mega and band % 128 == 0 and khops > 1:
             return _band_to_bidiagonal_pallas_mega(A, band=band, khops=khops)
         return _band_to_bidiagonal_pallas(A, band=band)
+
+
+def band_to_bidiagonal_pallas_accum(A, band=128):
+    """Reflector-recording chase, single Pallas launch; returns
+    ``(d, e, VL, TL, VR, TR)`` with the same record convention as
+    models/two_stage.band_to_bidiagonal_accum (reflector (i, s) supported on
+    rows/cols ``[i+1+s*band, i+1+(s+1)*band)``), consumable by
+    models/vectors._apply_chase_reflectors.
+
+    Same elimination arithmetic as :func:`band_to_bidiagonal_pallas`
+    (bitwise-equal d/e, differential-tested); the records ride along in VMEM
+    and flush once per sweep, so the full-SVD path keeps the single-launch
+    chase speed instead of falling back to the per-window XLA accumulator.
+    """
+    with jax.enable_x64(False):
+        return _band_to_bidiagonal_pallas_accum(A, band=band)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def _band_to_bidiagonal_pallas_accum(A, band=128):
+    n = A.shape[0]
+    b = int(band)
+    dtype = A.dtype
+    if n < 2:
+        raise ValueError("band_to_bidiagonal_pallas_accum needs n >= 2")
+    if b % 8 != 0:
+        raise ValueError(
+            f"band={b} must be a multiple of 8; use "
+            "models.two_stage.band_to_bidiagonal_accum otherwise"
+        )
+    w = b + 1
+    wr = 2 * b + 8
+    wc = -(-2 * b // 128) * 128 + 128
+    RW = -(-b // 128) * 128
+    CRA = -(-min(b + 128, wc) // 128) * 128
+    s_max = max(0, -(-(n - (2 * w - 1)) // b)) + 2
+    # sublane-align the per-sweep record block (Mosaic rejects unaligned
+    # dim-0 slices); the pad slots stay zero -> tau 0 -> back-transform no-ops
+    s_pad = -(-s_max // 8) * 8
+    pad = b + wc + 16
+    Ap = jnp.pad(A, ((0, pad), (0, pad)))
+    Np = n + pad
+
+    out, VRr, VLr = pl.pallas_call(
+        functools.partial(_chase_kernel_rec, n, b, s_pad),
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Np), dtype),
+            jax.ShapeDtypeStruct(((n - 1) * s_pad, RW), dtype),
+            jax.ShapeDtypeStruct(((n - 1) * s_pad, RW), dtype),
+        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((wr, wc), dtype),
+            pltpu.VMEM((s_pad, CRA), dtype),
+            pltpu.VMEM((s_pad, CRA), dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(Ap)
+    B = out[:n, :n]
+    VR = VRr.reshape(n - 1, s_pad, RW)[:, :s_max, :b]
+    VL = VLr.reshape(n - 1, s_pad, RW)[:, :s_max, :b]
+
+    def tau_from_v(V):
+        """larfg identity: tau = 2 / (v^T v) = (beta-alpha)/beta; all-zero
+        records (stale/trivial slots) map to tau = 0."""
+        nrm2 = jnp.sum(V * V, axis=-1)
+        return jnp.where(nrm2 == 0, jnp.zeros((), dtype), 2.0 / nrm2)
+
+    return jnp.diag(B), jnp.diag(B, 1), VL, tau_from_v(VL), VR, tau_from_v(VR)
 
 
 @functools.partial(jax.jit, static_argnames=("band", "khops"))

@@ -160,3 +160,28 @@ def test_pallas_chase_sigma_large_band(rng):
     s = np.asarray(bisect_svdvals_pallas(d, e))
     want = np.linalg.svd(np.asarray(A).astype(np.float64), compute_uv=False)
     np.testing.assert_allclose(s, want, rtol=2e-5, atol=1e-5 * want[0])
+
+
+def test_pallas_chase_accum_matches_plain_and_factorizes(rng):
+    # reflector-recording chase: (d, e) must match the plain kernel exactly
+    # (same arithmetic) and the recorded reflectors must reproduce the band
+    # factorization Ab = L @ B @ R^T with orthogonal L.
+    from svdsolver_tpu.ops.pallas.band_chase import (
+        band_to_bidiagonal_pallas_accum,
+    )
+    from svdsolver_tpu.models.vectors import _apply_chase_reflectors
+
+    n, b = 384, 64
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ab = dense_to_band(A, band=b)
+    d0, e0 = band_to_bidiagonal_pallas(Ab, band=b)
+    d, e, VL, TL, VR, TR = band_to_bidiagonal_pallas_accum(Ab, band=b)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d0), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e0), rtol=1e-6, atol=1e-7)
+    I = jnp.eye(n, dtype=jnp.float32)
+    L = np.asarray(_apply_chase_reflectors(VL, TL, I, b, reverse=True))
+    R = np.asarray(_apply_chase_reflectors(VR, TR, I, b, reverse=True))
+    B = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+    nrm = np.abs(np.asarray(Ab)).max()
+    assert np.abs(L @ B @ R.T - np.asarray(Ab)).max() / nrm < 1e-5
+    assert np.abs(L.T @ L - np.eye(n)).max() < 1e-5
