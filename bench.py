@@ -24,7 +24,15 @@ NS_N = 3840  # north-star size (BASELINE.json)
 
 
 def main():
+    import os
+
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     from svdsolver_tpu.models.svd import svdvals, use_pallas
     from svdsolver_tpu.models.two_stage import dense_to_band
@@ -96,6 +104,42 @@ def main():
     except Exception as exc:
         print(f"stage_timings failed: {exc}", file=sys.stderr)
 
+    # ---- full SVD with singular vectors (beyond the reference) at 2048 ----
+    svd_s = svd_err = None
+    try:
+        from svdsolver_tpu import svd
+        from svdsolver_tpu.utils.timing import sync
+
+        SN = 2048
+        Asv = jnp.asarray(
+            rng.normal(size=(SN, SN)).astype(np.float32)
+        )
+
+        def run_svd(x):
+            out = svd(x)
+            for o in out:  # platform-correct completion barrier
+                sync(o)
+            return out
+
+        run_svd(Asv)  # compile
+        sv_times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = run_svd(Asv)
+            sv_times.append(time.perf_counter() - t0)
+        svd_s = min(sv_times)
+        U, s, Vh = (np.asarray(o) for o in out)
+        An = np.asarray(Asv)
+        svd_err = float(
+            np.abs(U @ np.diag(s) @ Vh - An).max() / np.abs(An).max()
+        )
+        print(
+            f"full svd {SN}^2 fp32 times {sv_times} recon {svd_err:.2e}",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"full-svd bench failed: {exc}", file=sys.stderr)
+
     line = {
         "metric": f"stage1_dense_to_band_N{N}_band{BAND}_fp32_wallclock",
         "value": round(t, 4),
@@ -105,6 +149,9 @@ def main():
     if ns_s is not None:
         line["northstar_svdvals_N3840_fp32_s"] = round(ns_s, 4)
         line["northstar_max_rel_err_vs_lapack"] = float(f"{ns_err:.3e}")
+    if svd_s is not None:
+        line["full_svd_N2048_fp32_s"] = round(svd_s, 4)
+        line["full_svd_N2048_max_recon_rel_err"] = float(f"{svd_err:.3e}")
     print(json.dumps(line))
 
 
