@@ -94,8 +94,17 @@ def bidiagonalize(A, method="tpu2", block=None):
             from svdsolver_tpu.ops.pallas.band_chase import (
                 band_to_bidiagonal_pallas,
             )
+            from svdsolver_tpu.ops.pallas.band_chase_vmem import (
+                band_to_bidiagonal_pallas_vmem,
+                vmem_chase_preferred,
+            )
 
-            d, e = band_to_bidiagonal_pallas(Ab, band=block)
+            if vmem_chase_preferred(Ap.shape[0], block):
+                # past the HBM kernel's row-stride cliff and small enough to
+                # keep the packed band VMEM-resident: ~2x (band_chase_vmem)
+                d, e = band_to_bidiagonal_pallas_vmem(Ab, band=block)
+            else:
+                d, e = band_to_bidiagonal_pallas(Ab, band=block)
         else:
             d, e = band_to_bidiagonal(Ab, band=block)
         d, e = d[:n], e[: n - 1]

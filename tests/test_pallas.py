@@ -185,3 +185,22 @@ def test_pallas_chase_accum_matches_plain_and_factorizes(rng):
     nrm = np.abs(np.asarray(Ab)).max()
     assert np.abs(L @ B @ R.T - np.asarray(Ab)).max() / nrm < 1e-5
     assert np.abs(L.T @ L - np.eye(n)).max() < 1e-5
+
+
+def test_pallas_chase_vmem_matches_spectrum(rng):
+    # packed VMEM-resident chase variant: same schedule, different reduction
+    # widths -> d/e differ elementwise (chaotic rounding), but the spectrum
+    # must match LAPACK like the default kernel's does.
+    from svdsolver_tpu.ops.pallas.band_chase_vmem import (
+        band_to_bidiagonal_pallas_vmem,
+        vmem_chase_supported,
+    )
+
+    n, b = 384, 64
+    assert vmem_chase_supported(n, b)
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ab = dense_to_band(A, band=b)
+    d, e = band_to_bidiagonal_pallas_vmem(Ab, band=b)
+    s = np.asarray(bisect_svdvals_pallas(d, e))
+    want = np.linalg.svd(np.asarray(A).astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, want, rtol=2e-5, atol=1e-5 * want[0])
