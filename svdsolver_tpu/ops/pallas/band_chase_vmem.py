@@ -199,7 +199,8 @@ def vmem_chase_supported(n, band):
     if b < 8 or b > 128 or b % 8 != 0:
         return False
     Npad = -(-(n + 3 * b + 8) // 128) * 128
-    return Npad * D * 4 <= 12 * 1024 * 1024
+    # validated up to 13.8 MB resident (n=4992, band=128) on the 16 MB VMEM
+    return Npad * D * 4 <= 14 * 1024 * 1024
 
 
 # Measured on v5e: the HBM window kernel's per-pair cost jumps 1.26 -> 3.0 us

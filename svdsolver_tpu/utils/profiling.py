@@ -49,10 +49,18 @@ def stage_timings(A, band=None, method="tpu2", diag="bisect", warmup=True):
     stage2 = band_to_bidiagonal
     if method == "tpu2" and use_pallas(A.dtype):
         from svdsolver_tpu.ops.pallas.band_chase import band_to_bidiagonal_pallas
+        from svdsolver_tpu.ops.pallas.band_chase_vmem import (
+            band_to_bidiagonal_pallas_vmem,
+            vmem_chase_preferred,
+        )
         from svdsolver_tpu.ops.pallas.panel_qr import dense_to_band_pallas
 
         stage1 = dense_to_band_pallas
-        stage2 = band_to_bidiagonal_pallas
+        # mirror svd.py's routing so the breakdown reflects the real pipeline
+        if vmem_chase_preferred(A.shape[0], band):
+            stage2 = band_to_bidiagonal_pallas_vmem
+        else:
+            stage2 = band_to_bidiagonal_pallas
     solver = bidiagonal_svdvals if diag == "qr" else bisect_svdvals
     if diag == "bisect" and method == "tpu2" and use_pallas(A.dtype):
         from svdsolver_tpu.ops.pallas.bisect import bisect_svdvals_pallas
