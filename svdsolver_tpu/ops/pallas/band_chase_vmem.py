@@ -5,7 +5,7 @@ per elimination pair, ~2.3 us/pair net (PERF_NOTES row-cost model), and every
 windowing scheme that round-trips windows through HBM hits the same ~2n^2
 transferred-row invariant.  This kernel escapes the bound by keeping the band
 in VMEM for the whole chase: one DMA pass in (packing), zero DMAs per pair,
-one DMA pass out.
+and d/e extracted in-kernel — the packed array never leaves the chip.
 
 Layout — BLOCK-ALIGNED packing.  Row blocks of 128 keep their columns
 lane-aligned; each block stores only its diagonal neighborhood:
@@ -29,13 +29,14 @@ compares the SPECTRUM, which matches LAPACK to ~1.9e-7 relative at every
 size tested.  Gate: 8 <= band <= 128, band % 8 == 0, packed array fits VMEM
 (:func:`vmem_chase_supported`).
 
-MEASURED OUTCOME (kept as a validated variant, not the default): at
-n=3200/b=128 this kernel runs 58 ms vs the HBM window kernel's 44 ms — the
-masked full-slab VPU arithmetic (~1.45 us/pair over (264, 512) slabs) costs
-more than the HBM kernel's DMA round-trips, whose latency the sequential
-window pipeline already hides well.  Zero-DMA residency alone is not a win;
-a shape that narrows the per-pair VPU footprint below ~(264, 384) would be
-needed first.  See PERF_NOTES.md.
+MEASURED OUTCOME: below the HBM kernel's stride cliff (n=3200/b=128) this
+kernel runs ~1.4x slower (the masked full-slab VPU arithmetic costs more
+than well-hidden DMA round-trips); above the cliff it is ~2x faster and is
+the default there (see vmem_chase_preferred).  Ablation at n=3840 (see
+PERF_NOTES "VMEM chase cost profile"): left elims ~34 ms, right elims
+~32 ms, pack DMAs + memset < 1 ms.  The cost is per-pair latency chains,
+not bandwidth — batching the independent elimination lanes of a pipelined
+multi-sweep wavefront into single wider ops is the identified next lever.
 """
 
 import functools
@@ -50,28 +51,47 @@ D = 640  # packed width: covers live lanes [1, 512) for b <= 128
 WR = 512  # right-elimination working lane width
 
 
-def _vmem_chase_kernel(n, b, Npad, A_in, P_out, P, sem):
-    """Packed chase over VMEM-resident ``P`` (Npad, D)."""
+def _vmem_chase_kernel(n, b, Npad, A_in, d_out, e_out, P, sem):
+    """Packed chase over VMEM-resident ``P`` (Npad, D).
+
+    ``A_in`` is the UNPADDED (n, n) band matrix in HBM: padding it to the
+    packed width first would give the source a >16 KB row stride, putting
+    every pack DMA past the measured stride cliff (~2.6 us/row, ~11 ms
+    fixed).  Instead each 128-row block's diagonal window is clipped to
+    A's bounds with static sizes (n, D are trace-time constants) and the
+    out-of-range remainder is left at the memset zero.  d/e are extracted
+    in-kernel into (nb, 128) outputs — the packed array never leaves VMEM.
+    """
     w = b + 1
     dtype = P.dtype
     zero = jnp.zeros((), dtype)
     one = jnp.ones((), dtype)
 
-    # ---- pack: one rectangular DMA per 128-row block --------------------
-    def pack_block(br, carry):
+    # ---- pack: one clipped rectangular DMA per 128-row block ------------
+    # HBM memref slices must be 128-aligned in the lane dim, so A_in is
+    # (n128, n128) — the caller pads n up to a 128 multiple (identity for
+    # the common 128-aligned sizes), keeping every clip aligned.
+    n128 = -(-n // 128) * 128
+    P[...] = jnp.zeros(P.shape, dtype)
+    for br in range(Npad // 128):
+        r0 = 128 * br
+        if r0 >= n128:
+            continue
+        c0 = 128 * br - 128  # window start: one block left of the diagonal
+        l0 = max(0, -c0)  # dest lane offset (block 0 has no left block)
+        cs = c0 + l0
+        cw = min(D - l0, n128 - cs)
+        if cw <= 0:
+            continue
         cp = pltpu.make_async_copy(
-            A_in.at[pl.ds(br * 128, 128), pl.ds(br * 128, D)],
-            P.at[pl.ds(br * 128, 128), :],
+            A_in.at[pl.ds(r0, 128), pl.ds(cs, cw)],
+            P.at[pl.ds(r0, 128), pl.ds(l0, cw)],
             sem,
         )
         cp.start()
         cp.wait()
-        return carry
-
-    lax.fori_loop(jnp.int32(0), jnp.int32(Npad // 128), pack_block, 0)
 
     lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
-    lane_l = lax.broadcasted_iota(jnp.int32, (1, D), 1)
 
     def make_v(xrow, x, lane):
         """larfg over lanes [x, x+b) of ``xrow`` (pivot at x): (v, tau)."""
@@ -103,8 +123,9 @@ def _vmem_chase_kernel(n, b, Npad, A_in, P_out, P, sem):
         rows = P[pl.ds(r8, SL + 8), :WR]
         qi = lax.broadcasted_iota(jnp.int32, (SL + 8, 1), 0)
         active = jnp.logical_and(qi >= ro, qi < ro + RL)
+        # pivot row lives in the first 8-row group (ro < 8): reduce only it
         prow = jnp.sum(
-            jnp.where(qi == ro, rows, zero), axis=0, keepdims=True
+            jnp.where(qi[:8] == ro, rows[:8], zero), axis=0, keepdims=True
         )
         v0, tau = make_v(prow, x, lane_r)
         v1 = pltpu.roll(v0, WR - 128, 1)  # static: zone-1 copy (128 left)
@@ -118,17 +139,22 @@ def _vmem_chase_kernel(n, b, Npad, A_in, P_out, P, sem):
     def left_elim(r1):
         """Column reflector: pivot col ``r1``, support rows [r1, r1+b),
         applied to cols [r1, r1+2b).  Col r1+j sits at lane
-        xl - 128*zone + j; zones in {0, 1}."""
+        xl - 128*zone + j; zones in {0, 1}.
+
+        All lanes read or written live in [0, WR): live rows (qi in
+        [ro1, ro1+b)) have zone in {0, 1}, so modified lanes are
+        xl - 128*zone + j <= 255 + 255 = 510 — the slab is loaded and
+        stored at WR=512 wide, not the full packed width D."""
         r8 = (r1 // 8) * 8
         ro1 = r1 - r8
         xl = lax.rem(r1, jnp.int32(128)) + 128
-        rows = P[pl.ds(r8, b + 8), :]
+        rows = P[pl.ds(r8, b + 8), :WR]
         qi = lax.broadcasted_iota(jnp.int32, (b + 8, 1), 0)
         zone = (r8 + qi) // 128 - r1 // 128  # {-1?, 0, 1}; off-rows masked
         # pivot-column extraction (lane xl - 128*zone per row)
         lofs = xl - 128 * zone
         xcol = jnp.sum(
-            jnp.where(lane_l == lofs, rows, zero), axis=1, keepdims=True
+            jnp.where(lane_r == lofs, rows, zero), axis=1, keepdims=True
         )
         tail = jnp.logical_and(qi > ro1, qi < ro1 + b)
         xt = jnp.where(tail, xcol, zero)
@@ -151,11 +177,11 @@ def _vmem_chase_kernel(n, b, Npad, A_in, P_out, P, sem):
         p1 = jnp.sum(jnp.where(zone == 1, v, zero) * rows, axis=0,
                      keepdims=True)
         w0 = p0 + pltpu.roll(p1, 128, 1)
-        csel = jnp.logical_and(lane_l >= xl, lane_l < xl + 2 * b)
+        csel = jnp.logical_and(lane_r >= xl, lane_r < xl + 2 * b)
         w0 = jnp.where(csel, w0, zero)
-        w1 = pltpu.roll(w0, D - 128, 1)  # zone-1 coords
+        w1 = pltpu.roll(w0, WR - 128, 1)  # zone-1 coords
         Wm = jnp.where(zone == 0, w0, w1)
-        P[pl.ds(r8, b + 8), :] = rows - (tau * v) * Wm
+        P[pl.ds(r8, b + 8), :WR] = rows - (tau * v) * Wm
 
     # ---- sweeps ----------------------------------------------------------
     SLT = b + 8  # top right slab (logical b+1 rows)
@@ -180,17 +206,24 @@ def _vmem_chase_kernel(n, b, Npad, A_in, P_out, P, sem):
 
     lax.fori_loop(jnp.int32(0), jnp.int32(n - 1), sweep, 0)
 
-    def unpack_block(br, carry):
-        cp = pltpu.make_async_copy(
-            P.at[pl.ds(br * 128, 128), :],
-            P_out.at[pl.ds(br * 128, 128), :],
-            sem,
+    # ---- extract d/e: row j's diagonal sits at packed lane 128 + j ------
+    # Masking block rows' [128, 384) lane window with (lane == j [+1]) and
+    # summing over ROWS leaves d(r0+j) at lane j (e at lane j+1) — already
+    # in lane layout, no (128,) -> (1, 128) transpose needed.
+    li = lax.broadcasted_iota(jnp.int32, (128, 256), 1)
+    ri = lax.broadcasted_iota(jnp.int32, (128, 256), 0)
+    for br in range(Npad // 128):
+        if 128 * br >= n:
+            d_out[br : br + 1, :] = jnp.zeros((1, 128), dtype)
+            e_out[br : br + 1, :] = jnp.zeros((1, 128), dtype)
+            continue
+        blk = P[128 * br : 128 * br + 128, 128:384]
+        dsum = jnp.sum(jnp.where(li == ri, blk, zero), axis=0, keepdims=True)
+        esum = jnp.sum(
+            jnp.where(li == ri + 1, blk, zero), axis=0, keepdims=True
         )
-        cp.start()
-        cp.wait()
-        return carry
-
-    lax.fori_loop(jnp.int32(0), jnp.int32(Npad // 128), unpack_block, 0)
+        d_out[br : br + 1, :] = dsum[:, 0:128]
+        e_out[br : br + 1, :] = esum[:, 1:129]
 
 
 def vmem_chase_supported(n, band):
@@ -240,29 +273,27 @@ def _band_to_bidiagonal_pallas_vmem(A, band=128):
     if b % 8 != 0 or b < 8 or b > 128:
         raise ValueError(f"band={b} must be a multiple of 8 in [8, 128]")
     Npad = -(-(n + 3 * b + 8) // 128) * 128
-    # 128 zero columns on the left (block br reads cols from 128*(br-1));
-    # right padding so every block's D-wide read stays in bounds
-    Ad = jnp.pad(A, ((0, Npad - n), (128, Npad - n + D)))
-
-    P = pl.pallas_call(
+    nb = Npad // 128
+    n128 = -(-n // 128) * 128
+    if n128 != n:  # align for the pack DMAs (see kernel docstring)
+        A = jnp.pad(A, ((0, n128 - n), (0, n128 - n)))
+    d2, e2 = pl.pallas_call(
         functools.partial(_vmem_chase_kernel, n, b, Npad),
-        out_shape=jax.ShapeDtypeStruct((Npad, D), dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 128), dtype),
+            jax.ShapeDtypeStruct((nb, 128), dtype),
+        ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
             pltpu.VMEM((Npad, D), dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(Ad)
-    # unpack d/e: row i's diagonal sits at lane (i % 128) + 128
-    nb = Npad // 128
-    P3 = P.reshape(nb, 128, D)
-    j = jnp.arange(128)
-    oh_d = (jnp.arange(D)[None, :] == (j + 128)[:, None]).astype(dtype)
-    oh_e = (jnp.arange(D)[None, :] == (j + 129)[:, None]).astype(dtype)
-    # elementwise multiply+sum (VPU, exact) — an einsum would round the
-    # values through the bf16 MXU
-    d = jnp.sum(P3 * oh_d[None], axis=2).reshape(-1)[:n]
-    e = jnp.sum(P3 * oh_e[None], axis=2).reshape(-1)[: n - 1]
+    )(A)
+    d = d2.reshape(-1)[:n]
+    e = e2.reshape(-1)[: n - 1]
     return d, e
