@@ -36,7 +36,8 @@ the default there (see vmem_chase_preferred).  Ablation at n=3840 (see
 PERF_NOTES "VMEM chase cost profile"): left elims ~34 ms, right elims
 ~32 ms, pack DMAs + memset < 1 ms.  The cost is per-pair latency chains,
 not bandwidth — batching the independent elimination lanes of a pipelined
-multi-sweep wavefront into single wider ops is the identified next lever.
+multi-sweep wavefront is the candidate lever, but the naive stacked
+formulation measured as a wash; see PERF_NOTES "VMEM chase cost profile".
 """
 
 import functools
