@@ -52,6 +52,116 @@ D = 640  # packed width: covers live lanes [1, 512) for b <= 128
 WR = 512  # right-elimination working lane width
 
 
+def _make_v(xrow, x, b, lane):
+    """larfg over lanes [x, x+b) of ``xrow`` (pivot at x): (v, tau)."""
+    dtype = xrow.dtype
+    zero = jnp.zeros((), dtype)
+    one = jnp.ones((), dtype)
+    tail = jnp.logical_and(lane > x, lane < x + b)
+    xt = jnp.where(tail, xrow, zero)
+    pivot = jnp.sum(jnp.where(lane == x, xrow, zero))
+    sigma2 = jnp.sum(xt * xt)
+    norm = jnp.sqrt(pivot * pivot + sigma2)
+    sign = jnp.where(pivot >= 0, one, -one)
+    beta = -sign * norm
+    trivial = sigma2 == 0
+    denom = jnp.where(trivial, one, pivot - beta)
+    v = jnp.where(tail, xt / denom, zero) + jnp.where(lane == x, one, zero)
+    safe_beta = jnp.where(beta == 0, one, beta)
+    tau = jnp.where(trivial, zero, (beta - pivot) / safe_beta)
+    return v, tau
+
+
+def _right_elim(P, b, r, co0, SL, RL):
+    """Row reflector: pivot row ``r``, support cols [r+co0, r+co0+b),
+    applied to rows [r, r+RL).  The (SL+8)-row slab starts at the 8-row
+    boundary below ``r`` (dynamic sublane loads must be tile-aligned).
+
+    Col r+co0+j sits at lane x - 128*zone + j of global row g, where
+    x = co0 + r%128 + 128 and zone = g//128 - r//128 in {0,1,2}.
+
+    ``P`` is the packed array (or any row window of it whose row 0 sits at
+    a 128-ALIGNED packed row, with ``r`` given window-locally: the x/zone
+    arithmetic only depends on row indices mod 128, which such windows
+    preserve).
+    """
+    dtype = P.dtype
+    zero = jnp.zeros((), dtype)
+    lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
+    r8 = (r // 8) * 8
+    ro = r - r8
+    x = co0 + lax.rem(r, jnp.int32(128)) + 128
+    rows = P[pl.ds(r8, SL + 8), :WR]
+    qi = lax.broadcasted_iota(jnp.int32, (SL + 8, 1), 0)
+    active = jnp.logical_and(qi >= ro, qi < ro + RL)
+    # pivot row lives in the first 8-row group (ro < 8): reduce only it
+    prow = jnp.sum(
+        jnp.where(qi[:8] == ro, rows[:8], zero), axis=0, keepdims=True
+    )
+    v0, tau = _make_v(prow, x, b, lane_r)
+    v1 = pltpu.roll(v0, WR - 128, 1)  # static: zone-1 copy (128 left)
+    v2 = pltpu.roll(v0, WR - 256, 1)  # zone-2 copy
+    zone = (r8 + qi) // 128 - r // 128
+    Vm = jnp.where(zone == 0, v0, jnp.where(zone == 1, v1, v2))
+    Vm = jnp.where(active, Vm, zero)
+    u = jnp.sum(rows * Vm, axis=1, keepdims=True)
+    P[pl.ds(r8, SL + 8), :WR] = rows - (tau * u) * Vm
+
+
+def _left_elim(P, b, r1):
+    """Column reflector: pivot col ``r1``, support rows [r1, r1+b),
+    applied to cols [r1, r1+2b).  Col r1+j sits at lane
+    xl - 128*zone + j; zones in {0, 1}.
+
+    All lanes read or written live in [0, WR): live rows (qi in
+    [ro1, ro1+b)) have zone in {0, 1}, so modified lanes are
+    xl - 128*zone + j <= 255 + 255 = 510 — the slab is loaded and
+    stored at WR=512 wide, not the full packed width D.
+
+    Same window-local coordinate contract as :func:`_right_elim`."""
+    dtype = P.dtype
+    zero = jnp.zeros((), dtype)
+    one = jnp.ones((), dtype)
+    lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
+    r8 = (r1 // 8) * 8
+    ro1 = r1 - r8
+    xl = lax.rem(r1, jnp.int32(128)) + 128
+    rows = P[pl.ds(r8, b + 8), :WR]
+    qi = lax.broadcasted_iota(jnp.int32, (b + 8, 1), 0)
+    zone = (r8 + qi) // 128 - r1 // 128  # {-1?, 0, 1}; off-rows masked
+    # pivot-column extraction (lane xl - 128*zone per row)
+    lofs = xl - 128 * zone
+    xcol = jnp.sum(
+        jnp.where(lane_r == lofs, rows, zero), axis=1, keepdims=True
+    )
+    tail = jnp.logical_and(qi > ro1, qi < ro1 + b)
+    xt = jnp.where(tail, xcol, zero)
+    pivot = jnp.sum(jnp.where(qi == ro1, xcol, zero))
+    sigma2 = jnp.sum(xt * xt)
+    norm = jnp.sqrt(pivot * pivot + sigma2)
+    sign = jnp.where(pivot >= 0, one, -one)
+    beta = -sign * norm
+    trivial = sigma2 == 0
+    denom = jnp.where(trivial, one, pivot - beta)
+    v = jnp.where(tail, xt / denom, zero) + jnp.where(
+        qi == ro1, one, zero
+    )
+    safe_beta = jnp.where(beta == 0, one, beta)
+    tau = jnp.where(trivial, zero, (beta - pivot) / safe_beta)
+    # w[j] = sum_q v[q] * A[r1+q, r1+j]: accumulate per zone in zone-0
+    # lane coordinates (shift zone-1 partials 128 right, statically)
+    p0 = jnp.sum(jnp.where(zone == 0, v, zero) * rows, axis=0,
+                 keepdims=True)
+    p1 = jnp.sum(jnp.where(zone == 1, v, zero) * rows, axis=0,
+                 keepdims=True)
+    w0 = p0 + pltpu.roll(p1, 128, 1)
+    csel = jnp.logical_and(lane_r >= xl, lane_r < xl + 2 * b)
+    w0 = jnp.where(csel, w0, zero)
+    w1 = pltpu.roll(w0, WR - 128, 1)  # zone-1 coords
+    Wm = jnp.where(zone == 0, w0, w1)
+    P[pl.ds(r8, b + 8), :WR] = rows - (tau * v) * Wm
+
+
 def _vmem_chase_kernel(n, b, Npad, A_in, d_out, e_out, P, sem):
     """Packed chase over VMEM-resident ``P`` (Npad, D).
 
@@ -66,7 +176,6 @@ def _vmem_chase_kernel(n, b, Npad, A_in, d_out, e_out, P, sem):
     w = b + 1
     dtype = P.dtype
     zero = jnp.zeros((), dtype)
-    one = jnp.ones((), dtype)
 
     # ---- pack: one clipped rectangular DMA per 128-row block ------------
     # HBM memref slices must be 128-aligned in the lane dim, so A_in is
@@ -92,97 +201,11 @@ def _vmem_chase_kernel(n, b, Npad, A_in, d_out, e_out, P, sem):
         cp.start()
         cp.wait()
 
-    lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
-
-    def make_v(xrow, x, lane):
-        """larfg over lanes [x, x+b) of ``xrow`` (pivot at x): (v, tau)."""
-        tail = jnp.logical_and(lane > x, lane < x + b)
-        xt = jnp.where(tail, xrow, zero)
-        pivot = jnp.sum(jnp.where(lane == x, xrow, zero))
-        sigma2 = jnp.sum(xt * xt)
-        norm = jnp.sqrt(pivot * pivot + sigma2)
-        sign = jnp.where(pivot >= 0, one, -one)
-        beta = -sign * norm
-        trivial = sigma2 == 0
-        denom = jnp.where(trivial, one, pivot - beta)
-        v = jnp.where(tail, xt / denom, zero) + jnp.where(lane == x, one, zero)
-        safe_beta = jnp.where(beta == 0, one, beta)
-        tau = jnp.where(trivial, zero, (beta - pivot) / safe_beta)
-        return v, tau
-
     def right_elim(r, co0, SL, RL):
-        """Row reflector: pivot row ``r``, support cols [r+co0, r+co0+b),
-        applied to rows [r, r+RL).  The (SL+8)-row slab starts at the 8-row
-        boundary below ``r`` (dynamic sublane loads must be tile-aligned).
-
-        Col r+co0+j sits at lane x - 128*zone + j of global row g, where
-        x = co0 + r%128 + 128 and zone = g//128 - r//128 in {0,1,2}.
-        """
-        r8 = (r // 8) * 8
-        ro = r - r8
-        x = co0 + lax.rem(r, jnp.int32(128)) + 128
-        rows = P[pl.ds(r8, SL + 8), :WR]
-        qi = lax.broadcasted_iota(jnp.int32, (SL + 8, 1), 0)
-        active = jnp.logical_and(qi >= ro, qi < ro + RL)
-        # pivot row lives in the first 8-row group (ro < 8): reduce only it
-        prow = jnp.sum(
-            jnp.where(qi[:8] == ro, rows[:8], zero), axis=0, keepdims=True
-        )
-        v0, tau = make_v(prow, x, lane_r)
-        v1 = pltpu.roll(v0, WR - 128, 1)  # static: zone-1 copy (128 left)
-        v2 = pltpu.roll(v0, WR - 256, 1)  # zone-2 copy
-        zone = (r8 + qi) // 128 - r // 128
-        Vm = jnp.where(zone == 0, v0, jnp.where(zone == 1, v1, v2))
-        Vm = jnp.where(active, Vm, zero)
-        u = jnp.sum(rows * Vm, axis=1, keepdims=True)
-        P[pl.ds(r8, SL + 8), :WR] = rows - (tau * u) * Vm
+        _right_elim(P, b, r, co0, SL, RL)
 
     def left_elim(r1):
-        """Column reflector: pivot col ``r1``, support rows [r1, r1+b),
-        applied to cols [r1, r1+2b).  Col r1+j sits at lane
-        xl - 128*zone + j; zones in {0, 1}.
-
-        All lanes read or written live in [0, WR): live rows (qi in
-        [ro1, ro1+b)) have zone in {0, 1}, so modified lanes are
-        xl - 128*zone + j <= 255 + 255 = 510 — the slab is loaded and
-        stored at WR=512 wide, not the full packed width D."""
-        r8 = (r1 // 8) * 8
-        ro1 = r1 - r8
-        xl = lax.rem(r1, jnp.int32(128)) + 128
-        rows = P[pl.ds(r8, b + 8), :WR]
-        qi = lax.broadcasted_iota(jnp.int32, (b + 8, 1), 0)
-        zone = (r8 + qi) // 128 - r1 // 128  # {-1?, 0, 1}; off-rows masked
-        # pivot-column extraction (lane xl - 128*zone per row)
-        lofs = xl - 128 * zone
-        xcol = jnp.sum(
-            jnp.where(lane_r == lofs, rows, zero), axis=1, keepdims=True
-        )
-        tail = jnp.logical_and(qi > ro1, qi < ro1 + b)
-        xt = jnp.where(tail, xcol, zero)
-        pivot = jnp.sum(jnp.where(qi == ro1, xcol, zero))
-        sigma2 = jnp.sum(xt * xt)
-        norm = jnp.sqrt(pivot * pivot + sigma2)
-        sign = jnp.where(pivot >= 0, one, -one)
-        beta = -sign * norm
-        trivial = sigma2 == 0
-        denom = jnp.where(trivial, one, pivot - beta)
-        v = jnp.where(tail, xt / denom, zero) + jnp.where(
-            qi == ro1, one, zero
-        )
-        safe_beta = jnp.where(beta == 0, one, beta)
-        tau = jnp.where(trivial, zero, (beta - pivot) / safe_beta)
-        # w[j] = sum_q v[q] * A[r1+q, r1+j]: accumulate per zone in zone-0
-        # lane coordinates (shift zone-1 partials 128 right, statically)
-        p0 = jnp.sum(jnp.where(zone == 0, v, zero) * rows, axis=0,
-                     keepdims=True)
-        p1 = jnp.sum(jnp.where(zone == 1, v, zero) * rows, axis=0,
-                     keepdims=True)
-        w0 = p0 + pltpu.roll(p1, 128, 1)
-        csel = jnp.logical_and(lane_r >= xl, lane_r < xl + 2 * b)
-        w0 = jnp.where(csel, w0, zero)
-        w1 = pltpu.roll(w0, WR - 128, 1)  # zone-1 coords
-        Wm = jnp.where(zone == 0, w0, w1)
-        P[pl.ds(r8, b + 8), :WR] = rows - (tau * v) * Wm
+        _left_elim(P, b, r1)
 
     # ---- sweeps ----------------------------------------------------------
     SLT = b + 8  # top right slab (logical b+1 rows)

@@ -53,12 +53,18 @@ def stage_timings(A, band=None, method="tpu2", diag="bisect", warmup=True):
             band_to_bidiagonal_pallas_vmem,
             vmem_chase_preferred,
         )
+        from svdsolver_tpu.ops.pallas.band_chase_stream import (
+            band_to_bidiagonal_pallas_stream,
+            stream_chase_preferred,
+        )
         from svdsolver_tpu.ops.pallas.panel_qr import dense_to_band_pallas
 
         stage1 = dense_to_band_pallas
         # mirror svd.py's routing so the breakdown reflects the real pipeline
         if vmem_chase_preferred(A.shape[0], band):
             stage2 = band_to_bidiagonal_pallas_vmem
+        elif stream_chase_preferred(A.shape[0], band):
+            stage2 = band_to_bidiagonal_pallas_stream
         else:
             stage2 = band_to_bidiagonal_pallas
     solver = bidiagonal_svdvals if diag == "qr" else bisect_svdvals

@@ -204,3 +204,29 @@ def test_pallas_chase_vmem_matches_spectrum(rng):
     s = np.asarray(bisect_svdvals_pallas(d, e))
     want = np.linalg.svd(np.asarray(A).astype(np.float64), compute_uv=False)
     np.testing.assert_allclose(s, want, rtol=2e-5, atol=1e-5 * want[0])
+
+
+@pytest.mark.parametrize("n,b", [(384, 64), (640, 128), (200, 8)])
+def test_pallas_chase_stream_bitwise_vs_vmem(rng, n, b):
+    # streamed packed chase: same schedule and shared elimination kernels as
+    # the VMEM-resident variant, only the window streaming differs -> d/e
+    # must be BITWISE identical to it (and hence spectrum-correct).
+    from svdsolver_tpu.ops.pallas.band_chase_stream import (
+        band_to_bidiagonal_pallas_stream,
+        stream_chase_supported,
+    )
+    from svdsolver_tpu.ops.pallas.band_chase_vmem import (
+        band_to_bidiagonal_pallas_vmem,
+    )
+
+    assert stream_chase_supported(n, b)
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ab = dense_to_band(A, band=b)
+    d1, e1 = band_to_bidiagonal_pallas_vmem(Ab, band=b)
+    d2, e2 = band_to_bidiagonal_pallas_stream(Ab, band=b)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    B = np.diag(np.asarray(d2)) + np.diag(np.asarray(e2), 1)
+    want = np.linalg.svd(np.asarray(A).astype(np.float64), compute_uv=False)
+    got = np.linalg.svd(B.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5 * want[0])
