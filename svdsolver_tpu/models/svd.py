@@ -94,22 +94,14 @@ def bidiagonalize(A, method="tpu2", block=None):
             from svdsolver_tpu.ops.pallas.band_chase import (
                 band_to_bidiagonal_pallas,
             )
-            from svdsolver_tpu.ops.pallas.band_chase_vmem import (
-                band_to_bidiagonal_pallas_vmem,
-                vmem_chase_preferred,
-            )
             from svdsolver_tpu.ops.pallas.band_chase_stream import (
                 band_to_bidiagonal_pallas_stream,
                 stream_chase_preferred,
             )
 
-            if vmem_chase_preferred(Ap.shape[0], block):
-                # past the HBM kernel's row-stride cliff and small enough to
-                # keep the packed band VMEM-resident: ~2x (band_chase_vmem)
-                d, e = band_to_bidiagonal_pallas_vmem(Ab, band=block)
-            elif stream_chase_preferred(Ap.shape[0], block):
-                # past the cliff but too big for VMEM residency: stream the
-                # packed band through double-buffered windows (~2x again)
+            if stream_chase_preferred(Ap.shape[0], block):
+                # past the HBM kernel's row-stride cliff: packed-band chase,
+                # VMEM-resident tail + streamed windows above VMEM capacity
                 d, e = band_to_bidiagonal_pallas_stream(Ab, band=block)
             else:
                 d, e = band_to_bidiagonal_pallas(Ab, band=block)

@@ -1,11 +1,8 @@
-"""Streamed packed-band bulge chase for bands too large for VMEM residency.
+"""Two-phase packed-band bulge chase: streamed windows + VMEM-resident tail.
 
-The VMEM-resident packed chase (band_chase_vmem.py) wins above the HBM window
-kernel's row-stride cliff but is capped by VMEM capacity (n <= ~5000 at
-band=128).  Beyond that cap the dense HBM window kernel runs in its slow
-~3 us/pair regime (PERF_NOTES "stride cliff").  This kernel extends the
-packed-band escape to arbitrary n by keeping the packed band in HBM and
-STREAMING it through VMEM in double-buffered row windows:
+The dense HBM window kernel runs in a slow ~3-5 us/pair regime once the
+padded matrix's row stride crosses the DMA cliff (PERF_NOTES "stride
+cliff").  This kernel is the escape for every past-the-cliff size:
 
 * The band is packed once (in-kernel DMAs) into a (Npad, 512) HBM array with
   the same block-aligned diagonal layout as the VMEM kernel —
@@ -13,22 +10,32 @@ STREAMING it through VMEM in double-buffered row windows:
   lanes the eliminations can ever touch (modified lanes are provably < 511;
   see band_chase_vmem._left_elim).  Packed rows are 2 KB and contiguous:
   every window DMA runs far below the stride cliff.
-* Each sweep walks its bulge down the band through a sliding window of
-  W rows.  A window holds ``h`` chase hops; while window j computes, the
-  fresh tail of window j+1 streams in and window j-1's finalized rows
-  stream out — two DMA issues per h hops instead of per pair.
+* **Phase A** (sweeps [0, R0)): each sweep walks its bulge down the band
+  through a sliding window of W rows held in one of two VMEM slots.  A
+  window holds ``h`` chase hops; while window j computes, the fresh tail of
+  window j+1 streams in and window j-1's finalized rows stream out — two
+  DMA issues per h hops instead of per pair.  The next sweep's first window
+  is PREFETCHED during this sweep's last window (valid when the sweep has
+  >= 3 windows: the rows it reads were retired >= 2 windows ago), removing
+  the per-sweep synchronous prologue load.
+* **Phase B** (sweeps [R0, n-1)): the 128-aligned tail slice P[R0:R0+2W) IS
+  the packed form of the trailing submatrix, and the trailing subproblem of
+  <= 2W - 2b - 8 rows fits the (2W, 512) window buffer whole — so all short
+  trailing sweeps run VMEM-resident with zero DMA (one load, one store).
+  For n <= ~4100 the whole chase is phase B.
 * Window bases are 128-ALIGNED (i128 + j*h*b with h*b % 128 == 0), so the
   zone/lane arithmetic of the shared elimination kernels is valid in
   window-local coordinates (it depends on row indices only mod 128).
 
 Same schedule and elimination arithmetic as band_chase_vmem (shared code),
-hence bitwise-identical d/e to the VMEM kernel; same output class as the
-reference brd_p2 (svd_parallel.h:639).
+hence bitwise-identical d/e to the VMEM kernel (tested, incl. across the
+phase split); same output class as the reference brd_p2 (svd_parallel.h:639).
 
-Measured (3-rep loop, b=128): 2.05-2.42 us/pair — ~2x faster than the dense
-HBM window kernel past its cliff (n=5248: 254 vs 579 ms; n=7680: 465 vs
-935 ms), ~1.6x off the VMEM kernel's 1.4 us/pair (carry copy + window
-boundary waits; see PERF_NOTES).
+Measured (3-rep loop, b=128, same-session A/B vs the single-phase streamed
+variant): n=5248 489 -> 178 ms, n=7680 730 -> 372 ms; vs the (Npad, 640)
+VMEM-resident kernel in its own range: n=3840 352 -> 87 ms, n=4992
+372 -> 153 ms.  Beware the compile service's binary variance (PERF_NOTES);
+all comparisons above are in-session.
 """
 
 import functools
@@ -42,7 +49,6 @@ from jax.experimental.pallas import tpu as pltpu
 from svdsolver_tpu.ops.pallas.band_chase_vmem import (
     _left_elim,
     _right_elim,
-    vmem_chase_supported,
     _HBM_FAST_LANES,
 )
 
@@ -60,11 +66,34 @@ def _hops_per_window(b):
     return None
 
 
+def _tail_rows_cap(b):
+    """Largest n_local whose FULL chase fits the (2W, DS) buffer: the
+    deepest slab any phase-B sweep touches ends at n_local + 2b + 6."""
+    return 2 * W - 2 * b - 8
+
+
 def _stream_chase_kernel(
-    n, b, h, Npad, A_in, d_out, e_out, P, BUF, stage, sem_pack, sem_in, sem_out
+    n,
+    b,
+    h,
+    Npad,
+    R0,
+    A_in,
+    d_out,
+    e_out,
+    P,
+    BUF,
+    stage,
+    sem_pack,
+    sem_in,
+    sem_out,
 ):
     """Streamed chase over HBM-packed ``P`` (Npad, DS) via window buffer
-    ``BUF`` ((2W, DS) VMEM — two W-row slots, selected by window parity)."""
+    ``BUF`` ((2W, DS) VMEM — two W-row slots, selected by window parity).
+
+    Sweeps [0, R0) stream (phase A); sweeps [R0, n-1) run entirely inside
+    ``BUF`` on the resident tail P[R0:R0+2W) (phase B) — the 128-aligned
+    cut R0 is chosen so the tail subproblem (n - R0 rows) fits."""
     w = b + 1
     dtype = P.dtype
     zero = jnp.zeros((), dtype)
@@ -94,21 +123,33 @@ def _stream_chase_kernel(
         cp.start()
         cp.wait()
 
-    # ---- sweeps ---------------------------------------------------------
-    def sweep(i, carry):
-        i128 = (i // 128) * 128
-        io = i - i128
-        n_chase = (
+    # ---- phase A: streamed sweeps [0, R0) -------------------------------
+    def n_chase_of(i):
+        return (
             jnp.maximum(
                 jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // b)
             )
             + 1
         )
+
+    def prologue(i_, p_):
+        # full window-0 load of sweep ``i_`` into slot parity ``p_``
+        return pltpu.make_async_copy(
+            P.at[pl.ds((i_ // 128) * 128, W)],
+            BUF.at[pl.ds((p_ % 2) * W, W)],
+            sem_in,
+        )
+
+    def sweep(i, carry):
+        p, pref = carry  # window-0 slot parity; 1 if prologue prefetched
+        i128 = (i // 128) * 128
+        io = i - i128
+        n_chase = n_chase_of(i)
         S = (n_chase + (h - 1)) // h  # >= 1 since n_chase >= 1
 
         def in_tail(j):
             # fresh rows of window j+1: P[base_j + W, +hb) -> slot(j+1)[W-hb:]
-            off_n = (1 - j % 2) * W
+            off_n = ((p + j + 1) % 2) * W
             return pltpu.make_async_copy(
                 P.at[pl.ds(i128 + j * hb + W, hb)],
                 BUF.at[pl.ds(off_n + (W - hb), hb)],
@@ -116,7 +157,7 @@ def _stream_chase_kernel(
             )
 
         def out_part(j):
-            off_c = (j % 2) * W
+            off_c = ((p + j) % 2) * W
             return pltpu.make_async_copy(
                 BUF.at[pl.ds(off_c, hb)],
                 P.at[pl.ds(i128 + j * hb, hb)],
@@ -124,31 +165,45 @@ def _stream_chase_kernel(
             )
 
         def out_full(j):
-            off_c = (j % 2) * W
+            off_c = ((p + j) % 2) * W
             return pltpu.make_async_copy(
                 BUF.at[pl.ds(off_c, W)],
                 P.at[pl.ds(i128 + j * hb, W)],
                 sem_out,
             )
 
-        # prologue: load window 0 into slot 0
-        cp = pltpu.make_async_copy(
-            P.at[pl.ds(i128, W)], BUF.at[pl.ds(i128 * 0, W)], sem_in
-        )
-        cp.start()
-        cp.wait()
+        # window-0 load: prefetched by the previous sweep's last window
+        # (wait only), or synchronous when not (first sweep / short sweep)
+        @pl.when(pref == 0)
+        def _sync_load():
+            cp = prologue(i, p)
+            cp.start()
+            cp.wait()
+
+        pl.when(pref == 1)(lambda: prologue(i, p).wait())
+
+        # Next sweep's window 0 may be prefetched during this sweep's last
+        # window iff S >= 3: its P rows [i128', i128'+W) (i128' <= i128+128)
+        # are then final — retired by out_part(0..S-2), all completed by the
+        # out_part(S-2) wait at window S-1 entry (128 + W <= 2*hb for every
+        # supported band), and disjoint from out_full(S-1)'s write range
+        # [i128+(S-1)*hb, ...).
+        can_pref = jnp.logical_and(S >= 3, i + 1 < R0)
 
         def win(j, carry):
             # both offsets as parity * W products: Mosaic's alignment prover
             # accepts (traced) * (constant multiple of 8) but not W - off_c
-            off_c = (j % 2) * W
-            off_n = (1 - j % 2) * W
+            off_c = ((p + j) % 2) * W
+            off_n = ((p + j + 1) % 2) * W
             # strict one-outstanding-copy-per-semaphore discipline: a DMA
             # semaphore counts bytes, so two equal-size copies in flight on
             # one sem would let a wait be satisfied by the WRONG completion
             pl.when(j >= 1)(lambda: out_part(j - 1).wait())
             pl.when(j >= 1)(lambda: in_tail(j - 1).wait())
             pl.when(j + 1 < S)(lambda: in_tail(j).start())
+            pl.when(jnp.logical_and(j + 1 == S, can_pref))(
+                lambda: prologue(i + 1, p + S).start()
+            )
 
             @pl.when(j == 0)
             def _heads():
@@ -176,9 +231,50 @@ def _stream_chase_kernel(
 
         lax.fori_loop(jnp.int32(0), S, win, 0)
         out_full(S - 1).wait()
-        return carry
+        return ((p + S) % 2, can_pref.astype(jnp.int32))
 
-    lax.fori_loop(jnp.int32(0), jnp.int32(n - 1), sweep, 0)
+    if R0 > 0:
+        lax.fori_loop(
+            jnp.int32(0), jnp.int32(R0), sweep, (jnp.int32(0), jnp.int32(0))
+        )
+
+    # ---- phase B: VMEM-resident tail sweeps [R0, n-1) -------------------
+    # P[R0 + r, l] = A[R0 + r, R0 + 128*(r//128) - 128 + l] for 128-aligned
+    # R0: the tail slice of P IS the packed form of the trailing submatrix,
+    # so the elimination kernels run on BUF in local coordinates unchanged.
+    Trows = min(Npad - R0, 2 * W)
+    n_local = n - R0
+    cp = pltpu.make_async_copy(
+        P.at[pl.ds(R0, Trows)], BUF.at[pl.ds(0, Trows)], sem_in
+    )
+    cp.start()
+    cp.wait()
+
+    def sweep_tail(i, carry):
+        _right_elim(BUF, b, i, 1, b + 8, w)
+        _left_elim(BUF, b, i + 1)
+        n_chase = (
+            jnp.maximum(
+                jnp.int32(0),
+                -(-(jnp.int32(n_local) - (i + 2 * w - 1)) // b),
+            )
+            + 1
+        )
+
+        def chase(k, c2):
+            r = i + 1 + k * b
+            _right_elim(BUF, b, r, b, 2 * b, 2 * b)
+            _left_elim(BUF, b, r + b)
+            return c2
+
+        return lax.fori_loop(jnp.int32(0), n_chase, chase, carry)
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_local - 1), sweep_tail, 0)
+    cp = pltpu.make_async_copy(
+        BUF.at[pl.ds(0, Trows)], P.at[pl.ds(R0, Trows)], sem_out
+    )
+    cp.start()
+    cp.wait()
 
     # ---- extract d/e (same mask-reduce as the VMEM kernel) --------------
     li = lax.broadcasted_iota(jnp.int32, (128, 256), 1)
@@ -210,10 +306,13 @@ def stream_chase_supported(n, band):
 
 def stream_chase_preferred(n, band):
     """True when the streamed chase should replace the dense HBM window
-    kernel: past the HBM kernel's row-stride cliff but too large for the
-    VMEM-resident packed chase (which wins in its own range)."""
+    kernel: past the HBM kernel's row-stride cliff.  Below ~4100 rows the
+    whole problem runs as the VMEM-resident tail phase (R0 = 0), so this
+    kernel subsumes the band_chase_vmem routing slot — measured 3-4x more
+    robust than the (Npad, 640)-buffer variant across that range (87 ms at
+    n=3840/b=128) and it keeps winning where VMEM residency runs out."""
     b = int(band)
-    if not stream_chase_supported(n, b) or vmem_chase_supported(n, b):
+    if not stream_chase_supported(n, b):
         return False
     mc = -(-2 * b // 128) * 128 + 128
     dense_lanes = -(-(n + b + mc + 16) // 128) * 128
@@ -238,13 +337,18 @@ def _band_to_bidiagonal_pallas_stream(A, band=128):
     if h is None:
         raise ValueError(f"band={b} must be a multiple of 8 in [8, 128]")
     assert (h + 1) * b + 136 <= W and (h * b) % 128 == 0
+    assert 128 + W <= 2 * h * b  # prefetch data-finality (see kernel)
     n128 = -(-n // 128) * 128
     Npad = -(-(n + b + W + 128) // 128) * 128
     nb = n128 // 128
+    # 128-aligned phase cut: the trailing (n - R0)-row subproblem runs
+    # VMEM-resident in BUF; everything before streams through windows
+    tcap = _tail_rows_cap(b)
+    R0 = -(-(n - tcap) // 128) * 128 if n > tcap else 0
     if n128 != n:  # align for the pack DMAs
         A = jnp.pad(A, ((0, n128 - n), (0, n128 - n)))
     d2, e2, _ = pl.pallas_call(
-        functools.partial(_stream_chase_kernel, n, b, h, Npad),
+        functools.partial(_stream_chase_kernel, n, b, h, Npad, R0),
         out_shape=(
             jax.ShapeDtypeStruct((nb, 128), dtype),
             jax.ShapeDtypeStruct((nb, 128), dtype),

@@ -31,8 +31,14 @@ size tested.  Gate: 8 <= band <= 128, band % 8 == 0, packed array fits VMEM
 
 MEASURED OUTCOME: below the HBM kernel's stride cliff (n=3200/b=128) this
 kernel runs ~1.4x slower (the masked full-slab VPU arithmetic costs more
-than well-hidden DMA round-trips); above the cliff it is ~2x faster and is
-the default there (see vmem_chase_preferred).  Ablation at n=3840 (see
+than well-hidden DMA round-trips); above the cliff it is ~2x faster.
+ROUTING STATUS: superseded by band_chase_stream.py, whose VMEM-resident
+tail phase runs the same sweeps in a (2W, 512) contiguous buffer and
+measured 3-4x more robust than this (Npad, 640) layout in-session across
+3840 <= n <= 4992 (see stream_chase_preferred); this module remains the
+home of the shared elimination kernels (_make_v/_right_elim/_left_elim)
+and the bitwise differential oracle for the stream kernel's tests.
+Ablation at n=3840 (see
 PERF_NOTES "VMEM chase cost profile"): left elims ~34 ms, right elims
 ~32 ms, pack DMAs + memset < 1 ms.  The cost is per-pair latency chains,
 not bandwidth — batching the independent elimination lanes of a pipelined

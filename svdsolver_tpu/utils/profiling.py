@@ -49,10 +49,6 @@ def stage_timings(A, band=None, method="tpu2", diag="bisect", warmup=True):
     stage2 = band_to_bidiagonal
     if method == "tpu2" and use_pallas(A.dtype):
         from svdsolver_tpu.ops.pallas.band_chase import band_to_bidiagonal_pallas
-        from svdsolver_tpu.ops.pallas.band_chase_vmem import (
-            band_to_bidiagonal_pallas_vmem,
-            vmem_chase_preferred,
-        )
         from svdsolver_tpu.ops.pallas.band_chase_stream import (
             band_to_bidiagonal_pallas_stream,
             stream_chase_preferred,
@@ -61,9 +57,7 @@ def stage_timings(A, band=None, method="tpu2", diag="bisect", warmup=True):
 
         stage1 = dense_to_band_pallas
         # mirror svd.py's routing so the breakdown reflects the real pipeline
-        if vmem_chase_preferred(A.shape[0], band):
-            stage2 = band_to_bidiagonal_pallas_vmem
-        elif stream_chase_preferred(A.shape[0], band):
+        if stream_chase_preferred(A.shape[0], band):
             stage2 = band_to_bidiagonal_pallas_stream
         else:
             stage2 = band_to_bidiagonal_pallas

@@ -206,11 +206,13 @@ def test_pallas_chase_vmem_matches_spectrum(rng):
     np.testing.assert_allclose(s, want, rtol=2e-5, atol=1e-5 * want[0])
 
 
-@pytest.mark.parametrize("n,b", [(384, 64), (640, 128), (200, 8)])
+@pytest.mark.parametrize("n,b", [(384, 64), (640, 128), (200, 8), (4480, 128)])
 def test_pallas_chase_stream_bitwise_vs_vmem(rng, n, b):
-    # streamed packed chase: same schedule and shared elimination kernels as
-    # the VMEM-resident variant, only the window streaming differs -> d/e
-    # must be BITWISE identical to it (and hence spectrum-correct).
+    # two-phase packed chase: same schedule and shared elimination kernels
+    # as the VMEM-resident variant, only the window streaming differs ->
+    # d/e must be BITWISE identical to it (and hence spectrum-correct).
+    # n=4480 crosses the phase-A/phase-B split (R0=512) and exercises the
+    # cross-sweep window-0 prefetch; the smaller sizes run pure phase B.
     from svdsolver_tpu.ops.pallas.band_chase_stream import (
         band_to_bidiagonal_pallas_stream,
         stream_chase_supported,
