@@ -98,10 +98,19 @@ def bidiagonalize(A, method="tpu2", block=None):
                 band_to_bidiagonal_pallas_stream,
                 stream_chase_preferred,
             )
+            from svdsolver_tpu.ops.pallas.band_chase_wave import (
+                band_to_bidiagonal_pallas_wave,
+                wave_chase_preferred,
+            )
 
-            if stream_chase_preferred(Ap.shape[0], block):
-                # past the HBM kernel's row-stride cliff: packed-band chase,
-                # VMEM-resident tail + streamed windows above VMEM capacity
+            if wave_chase_preferred(Ap.shape[0], block):
+                # past the HBM kernel's row-stride cliff, band in VMEM:
+                # wavefront-batched packed chase (larfg chains amortized
+                # across the pipelined sweep lanes)
+                d, e = band_to_bidiagonal_pallas_wave(Ab, band=block)
+            elif stream_chase_preferred(Ap.shape[0], block):
+                # past the cliff, beyond VMEM residency: streamed packed
+                # chase (two-phase windows)
                 d, e = band_to_bidiagonal_pallas_stream(Ab, band=block)
             else:
                 d, e = band_to_bidiagonal_pallas(Ab, band=block)

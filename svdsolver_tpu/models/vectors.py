@@ -422,6 +422,73 @@ def _apply_chase_reflectors(V, T, M, band, reverse):
     return Mp[: M.shape[0]]
 
 
+@functools.partial(jax.jit, static_argnames=("band",))
+def _apply_chase_reflectors_wy(V, T, M, band):
+    """Grouped compact-WY form of :func:`_apply_chase_reflectors`
+    (reverse=True, i.e. the creation-order product ``L @ M``), with the
+    per-reflector rank-1 updates aggregated into MXU GEMMs.
+
+    Validity of the regrouping: reflector (i, s) supports rows
+    ``[i+1+s*b, i+1+(s+1)*b)``, so two reflectors overlap iff
+    ``|(i-i') + (s-s')*b| < b``; for sweeps within one group of G <= b
+    consecutive sweeps, every overlapping pair with i < i' has s' in
+    {s, s-1} — the later sweep sits at the same or LOWER slot.  Hence the
+    (slot desc, sweep asc) order preserves the relative order of every
+    non-commuting pair, and the creation-order product equals
+    ``prod_{g asc} prod_{s desc} S(g, s)`` with ``S(g, s)`` the forward
+    compact-WY product of the group's G reflectors at slot s.
+
+    Applying to M therefore walks groups in descending g and slots in
+    ascending s, each step two (G+b, G)x(G+b, ncols) GEMMs instead of G
+    rank-1 updates — (n/G * s_max) sequential GEMM steps in place of
+    n sweeps of batched rank-1s.
+    """
+    n_sweeps, s_max, b = V.shape
+    ncols = M.shape[1]
+    G = b  # group size; the reordering proof needs G <= b
+    n_groups = -(-n_sweeps // G)
+    pad_s = n_groups * G - n_sweeps
+    dtype = M.dtype
+    Vp = jnp.pad(V, ((0, pad_s), (0, 0), (0, 0)))
+    Tp = jnp.pad(T, ((0, pad_s), (0, 0)))
+    # (n_groups, s_max, G, b) with tau==0 columns zeroed (identity
+    # reflectors must vanish from V for the closed-form T)
+    Vg = Vp.reshape(n_groups, G, s_max, b).transpose(0, 2, 1, 3)
+    Tg = Tp.reshape(n_groups, G, s_max).transpose(0, 2, 1)
+    Vg = jnp.where(Tg[..., None] == 0, jnp.zeros((), dtype), Vg)
+
+    rows_i = jnp.arange(G)[:, None]
+    cols_i = jnp.arange(b)[None, :] + rows_i
+
+    def build(vg, tg):
+        # vg (G, b) -> staggered (G+b, G): column j at local rows [j, j+b)
+        F = jnp.zeros((G, G + b), dtype).at[rows_i, cols_i].set(vg)
+        Vb = F.T
+        return Vb, _larft_closed_form(Vb, tg)
+
+    Vb, Tb = jax.vmap(jax.vmap(build))(Vg, Tg)  # (ng, s_max, G+b, G) etc.
+
+    P = n_groups * G + s_max * b + 1
+    Mp = jnp.pad(M, ((0, P + G + b - M.shape[0]), (0, 0)))
+
+    def slot_apply(s, Mp, g):
+        r0 = g * G + 1 + s * b
+        seg = lax.dynamic_slice(Mp, (r0, 0), (G + b, ncols))
+        Vs = Vb[g, s]
+        coef = pdot(Tb[g, s], pdot(Vs.T, seg))
+        seg = seg - pdot(Vs, coef)
+        return lax.dynamic_update_slice(Mp, seg, (r0, 0))
+
+    def group_apply(k, Mp):
+        g = n_groups - 1 - k
+        return lax.fori_loop(
+            0, s_max, lambda s, Mp: slot_apply(s, Mp, g), Mp
+        )
+
+    Mp = lax.fori_loop(0, n_groups, group_apply, Mp)
+    return Mp[: M.shape[0]]
+
+
 def svd_two_stage(A, band=None):
     """Full SVD through the flagship two-stage pipeline (square ``A``).
 
@@ -459,9 +526,15 @@ def svd_two_stage(A, band=None):
         d, e, VL, TL, VR, TR = band_to_bidiagonal_pallas_accum(Ab, band=b)
     else:
         d, e, VL, TL, VR, TR = band_to_bidiagonal_accum(Ab, band=b)
+    # trim record slots the schedule never fills (Pallas pads s_max to 8)
+    np_ = Ab.shape[0]
+    s_used = max(0, -(-(np_ - (2 * (b + 1) - 1)) // b)) + 2
+    if s_used < VL.shape[1]:
+        VL, TL = VL[:, :s_used], TL[:, :s_used]
+        VR, TR = VR[:, :s_used], TR[:, :s_used]
     U_b, s, V_b = bidiagonal_svd(d, e)
-    LU = _apply_chase_reflectors(VL, TL, U_b, b, reverse=True)   # L @ Ub
-    RV = _apply_chase_reflectors(VR, TR, V_b, b, reverse=True)   # R @ Vb
+    LU = _apply_chase_reflectors_wy(VL, TL, U_b, b)              # L @ Ub
+    RV = _apply_chase_reflectors_wy(VR, TR, V_b, b)              # R @ Vb
     U = pdot(U1, LU)
     V = pdot(V1, RV)
     return U[:n, :n], s[:n], V[:n, :n].T

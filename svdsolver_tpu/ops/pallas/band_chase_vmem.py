@@ -59,14 +59,18 @@ WR = 512  # right-elimination working lane width
 
 
 def _make_v(xrow, x, b, lane):
-    """larfg over lanes [x, x+b) of ``xrow`` (pivot at x): (v, tau)."""
+    """larfg over lanes [x, x+b) of ``xrow`` (pivot at x): (v, tau).
+
+    Row-batched: ``xrow`` may be (L, WR) with per-row pivot lanes ``x``
+    (L, 1) — every reduction is per-row, so one sqrt/div chain serves all
+    L rows (the wave kernel's construction batching)."""
     dtype = xrow.dtype
     zero = jnp.zeros((), dtype)
     one = jnp.ones((), dtype)
     tail = jnp.logical_and(lane > x, lane < x + b)
     xt = jnp.where(tail, xrow, zero)
-    pivot = jnp.sum(jnp.where(lane == x, xrow, zero))
-    sigma2 = jnp.sum(xt * xt)
+    pivot = jnp.sum(jnp.where(lane == x, xrow, zero), axis=-1, keepdims=True)
+    sigma2 = jnp.sum(xt * xt, axis=-1, keepdims=True)
     norm = jnp.sqrt(pivot * pivot + sigma2)
     sign = jnp.where(pivot >= 0, one, -one)
     beta = -sign * norm

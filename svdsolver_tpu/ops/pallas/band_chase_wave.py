@@ -1,0 +1,367 @@
+"""Wavefront-batched VMEM-resident packed-band chase.
+
+The VMEM chase (band_chase_vmem.py) is bound by per-pair LATENCY CHAINS —
+~0.7 us of serial larfg sqrt/div chain per elimination pair out of ~1.4 us
+total (PERF_NOTES "VMEM chase cost profile") — not by bandwidth or op count.
+This kernel amortizes those chains across the independent elimination lanes
+of the pipelined-sweep wavefront schedule (sweep i's op k at tick 3i + k;
+same schedule as models/two_stage.band_to_bidiagonal_wavefront, where its
+bitwise-equivalence to the sequential order is established).
+
+Per the round-2 probe (PERF_NOTES "Wavefront batching"), STACKING the lanes'
+slabs into one big batched op is a wash: the gather/scatter scratch copies
+cost what the batching saves.  This kernel batches ONLY the reflector-
+construction math — the part with genuine serial latency — and leaves every
+slab in place:
+
+* tick T, hop lanes l = 0..L-1 handle sweeps i_l = floor((T-1)/3) - l at
+  hops k_l = T - 3*i_l; pivot ROWS gather into an (Lp, 512) buffer (one
+  masked 8-row reduce per active lane), then ONE batched larfg builds all
+  L right reflectors — a single sqrt/div chain per tick instead of per lane;
+* applies stay per-lane (predicated `pl.when`, slabs load/store in place,
+  exactly the vmem kernel's arithmetic);
+* left pivot COLUMNS extract into a (b+8, 128) lane buffer; one batched
+  column larfg builds all L left reflectors; applies again per-lane.
+* the sweep HEAD (k = 0, different support geometry, at most one per tick)
+  runs as the plain sequential pair under `pl.when(T % 3 == 0)`.
+
+Disjointness at a tick: consecutive active lanes' pivot rows differ by
+3b - 1 while a pair's touched span is < 2b + 16 rows, and the head spans
+< b + 16 rows ending >= 8 rows before lane 0's slab — all slabs disjoint for
+b >= 32 (gate).  Same packed layout, elimination arithmetic, and d/e
+extraction as band_chase_vmem (shared code); differential-tested against it.
+
+Reference provenance: same output class as brd_p2 (svd_parallel.h:639); the
+schedule realizes the reference's `Tracker` lookahead intent
+(svd_parallel.h:56) at elimination-pair granularity.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from svdsolver_tpu.ops.pallas.band_chase_vmem import (
+    D,
+    WR,
+    _left_elim,
+    _make_v,
+    _right_elim,
+)
+
+LANE_PAD = 8  # sublane padding of the pivot-row batch buffer
+
+
+def _nc_of(i, n, b):
+    """Hop count of sweep ``i`` (scalar or vector int32)."""
+    w = b + 1
+    return (
+        jnp.maximum(jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // b))
+        + 1
+    )
+
+
+def _right_apply(P, b, r, v0, tau, SL, RL):
+    """Apply half of band_chase_vmem._right_elim: reflector ``(v0, tau)``
+    (zone-0 lane coords) applied to rows [r, r+RL) of the packed array."""
+    dtype = P.dtype
+    zero = jnp.zeros((), dtype)
+    r8 = (r // 8) * 8
+    ro = r - r8
+    rows = P[pl.ds(r8, SL + 8), :WR]
+    qi = lax.broadcasted_iota(jnp.int32, (SL + 8, 1), 0)
+    active = jnp.logical_and(qi >= ro, qi < ro + RL)
+    v1 = pltpu.roll(v0, WR - 128, 1)
+    v2 = pltpu.roll(v0, WR - 256, 1)
+    zone = (r8 + qi) // 128 - r // 128
+    Vm = jnp.where(zone == 0, v0, jnp.where(zone == 1, v1, v2))
+    Vm = jnp.where(active, Vm, zero)
+    u = jnp.sum(rows * Vm, axis=1, keepdims=True)
+    P[pl.ds(r8, SL + 8), :WR] = rows - (tau * u) * Vm
+
+
+def _left_xcol(P, b, r1):
+    """Pivot-column extraction half of band_chase_vmem._left_elim:
+    returns the (b+8, 1) packed pivot column of the left slab at ``r1``."""
+    dtype = P.dtype
+    zero = jnp.zeros((), dtype)
+    lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
+    r8 = (r1 // 8) * 8
+    xl = lax.rem(r1, jnp.int32(128)) + 128
+    rows = P[pl.ds(r8, b + 8), :WR]
+    qi = lax.broadcasted_iota(jnp.int32, (b + 8, 1), 0)
+    zone = (r8 + qi) // 128 - r1 // 128
+    lofs = xl - 128 * zone
+    return jnp.sum(
+        jnp.where(lane_r == lofs, rows, zero), axis=1, keepdims=True
+    )
+
+
+def _left_make_v_batched(XC, ro1v, b):
+    """Batched column larfg: lane ``l`` of ``XC`` ((b+8, 128)) holds lane
+    l's pivot column with its pivot at sublane ``ro1v[0, l]``.  One
+    sqrt/div chain serves every lane.  Same op order as the scalar chain in
+    band_chase_vmem._left_elim."""
+    dtype = XC.dtype
+    zero = jnp.zeros((), dtype)
+    one = jnp.ones((), dtype)
+    qi = lax.broadcasted_iota(jnp.int32, XC.shape, 0)
+    tail = jnp.logical_and(qi > ro1v, qi < ro1v + b)
+    xt = jnp.where(tail, XC, zero)
+    pivot = jnp.sum(jnp.where(qi == ro1v, XC, zero), axis=0, keepdims=True)
+    sigma2 = jnp.sum(xt * xt, axis=0, keepdims=True)
+    norm = jnp.sqrt(pivot * pivot + sigma2)
+    sign = jnp.where(pivot >= 0, one, -one)
+    beta = -sign * norm
+    trivial = sigma2 == zero
+    denom = jnp.where(trivial, one, pivot - beta)
+    v = jnp.where(tail, xt / denom, zero) + jnp.where(
+        qi == ro1v, one, zero
+    )
+    safe_beta = jnp.where(beta == 0, one, beta)
+    tau = jnp.where(trivial, zero, (beta - pivot) / safe_beta)
+    return v, tau
+
+
+def _left_apply(P, b, r1, v, tau):
+    """Apply half of band_chase_vmem._left_elim: column reflector ``(v,
+    tau)`` (``v`` (b+8, 1) in slab-local rows) applied to the left slab."""
+    dtype = P.dtype
+    zero = jnp.zeros((), dtype)
+    lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
+    r8 = (r1 // 8) * 8
+    xl = lax.rem(r1, jnp.int32(128)) + 128
+    rows = P[pl.ds(r8, b + 8), :WR]
+    qi = lax.broadcasted_iota(jnp.int32, (b + 8, 1), 0)
+    zone = (r8 + qi) // 128 - r1 // 128
+    p0 = jnp.sum(jnp.where(zone == 0, v, zero) * rows, axis=0,
+                 keepdims=True)
+    p1 = jnp.sum(jnp.where(zone == 1, v, zero) * rows, axis=0,
+                 keepdims=True)
+    w0 = p0 + pltpu.roll(p1, 128, 1)
+    csel = jnp.logical_and(lane_r >= xl, lane_r < xl + 2 * b)
+    w0 = jnp.where(csel, w0, zero)
+    w1 = pltpu.roll(w0, WR - 128, 1)
+    Wm = jnp.where(zone == 0, w0, w1)
+    P[pl.ds(r8, b + 8), :WR] = rows - (tau * v) * Wm
+
+
+def _wave_chase_kernel(n, b, Npad, L, A_in, d_out, e_out, P, PR, XC, sem):
+    """Wavefront-batched chase over VMEM-resident ``P`` (Npad, D).
+
+    ``PR`` ((LANE_PAD*ceil(L/8)?, WR) -> (Lp, WR)) batches right pivot rows;
+    ``XC`` ((b+8, 128)) batches left pivot columns (lane l in lane dim l).
+    """
+    w = b + 1
+    dtype = P.dtype
+    zero = jnp.zeros((), dtype)
+    Lp = PR.shape[0]
+    n128 = -(-n // 128) * 128
+
+    # ---- pack (identical to band_chase_vmem) ----------------------------
+    P[...] = jnp.zeros(P.shape, dtype)
+    for br in range(Npad // 128):
+        r0 = 128 * br
+        if r0 >= n128:
+            continue
+        c0 = 128 * br - 128
+        l0 = max(0, -c0)
+        cs = c0 + l0
+        cw = min(D - l0, n128 - cs)
+        if cw <= 0:
+            continue
+        cp = pltpu.make_async_copy(
+            A_in.at[pl.ds(r0, 128), pl.ds(cs, cw)],
+            P.at[pl.ds(r0, 128), pl.ds(l0, cw)],
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+    lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
+    qi8 = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    li = lax.broadcasted_iota(jnp.int32, (Lp, 1), 0)
+
+    def tick(T, carry):
+        # ---- head (sweep T//3's k=0 pair; geometry differs, <=1/tick) ---
+        @pl.when(jnp.logical_and(T % 3 == 0, T // 3 <= n - 2))
+        def _head():
+            i = T // 3
+            _right_elim(P, b, i, 1, b + 8, w)
+            _left_elim(P, b, i + 1)
+
+        # ---- hop lanes: r affine in l (spacing 3b - 1) ------------------
+        i_base = (T + 2) // 3 - 1  # floor((T-1)/3), T >= 0
+        iv = i_base - li  # (Lp, 1) sweep index per lane
+        kv = T - 3 * iv
+        rv = iv + 1 + (kv - 1) * b
+
+        def lane(l):
+            i_l = i_base - l
+            k_l = T - 3 * i_l
+            r_l = i_l + 1 + (k_l - 1) * b
+            act = jnp.logical_and(
+                jnp.logical_and(i_l >= 0, i_l <= n - 2),
+                k_l <= _nc_of(i_l, n, b),
+            )
+            return r_l, act
+
+        # right pivot-row gathers (masked 8-row reduce, per active lane)
+        for l in range(L):
+            r_l, act = lane(l)
+
+            @pl.when(act)
+            def _gather(r_l=r_l, l=l):
+                r8 = (r_l // 8) * 8
+                ro = r_l - r8
+                rows8 = P[pl.ds(r8, 8), :WR]
+                PR[l : l + 1, :] = jnp.sum(
+                    jnp.where(qi8 == ro, rows8, zero), axis=0, keepdims=True
+                )
+
+        # ONE batched larfg for all right reflectors of this tick
+        xv = b + lax.rem(rv, jnp.int32(128)) + 128  # (Lp, 1)
+        Vr, taur = _make_v(PR[...], xv, b, lane_r)
+
+        # right applies, per lane in place
+        for l in range(L):
+            r_l, act = lane(l)
+            pl.when(act)(
+                lambda r_l=r_l, l=l: _right_apply(
+                    P, b, r_l, Vr[l : l + 1, :], taur[l : l + 1, :], 2 * b,
+                    2 * b,
+                )
+            )
+
+        # left pivot-column extracts into the lane buffer
+        for l in range(L):
+            r_l, act = lane(l)
+
+            @pl.when(act)
+            def _extract(r_l=r_l, l=l):
+                XC[:, l : l + 1] = _left_xcol(P, b, r_l + b)
+
+        # ONE batched column larfg for all left reflectors.  Pivot sublane
+        # per LANE-dim index c (same affine map as the sublane-dim rv).
+        lc = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        ivc = i_base - lc
+        r1c = ivc + 1 + (T - 3 * ivc - 1) * b + b
+        ro1c = r1c - (r1c // 8) * 8
+        Vl, taul = _left_make_v_batched(XC[...], ro1c, b)
+
+        # left applies, per lane in place
+        for l in range(L):
+            r_l, act = lane(l)
+            pl.when(act)(
+                lambda r_l=r_l, l=l: _left_apply(
+                    P, b, r_l + b, Vl[:, l : l + 1], taul[:, l : l + 1]
+                )
+            )
+
+        return carry
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(3 * (n - 2) + 2), tick, 0)
+
+    # ---- extract d/e (identical to band_chase_vmem) ---------------------
+    eli = lax.broadcasted_iota(jnp.int32, (128, 256), 1)
+    eri = lax.broadcasted_iota(jnp.int32, (128, 256), 0)
+    for br in range(Npad // 128):
+        if 128 * br >= n:
+            d_out[br : br + 1, :] = jnp.zeros((1, 128), dtype)
+            e_out[br : br + 1, :] = jnp.zeros((1, 128), dtype)
+            continue
+        blk = P[128 * br : 128 * br + 128, 128:384]
+        dsum = jnp.sum(
+            jnp.where(eli == eri, blk, zero), axis=0, keepdims=True
+        )
+        esum = jnp.sum(
+            jnp.where(eli == eri + 1, blk, zero), axis=0, keepdims=True
+        )
+        d_out[br : br + 1, :] = dsum[:, 0:128]
+        e_out[br : br + 1, :] = esum[:, 1:129]
+
+
+def _n_lanes(n, b):
+    """Max concurrent hop lanes = ceil(max_sweep_hops / 3)."""
+    w = b + 1
+    nc0 = max(0, -(-(n - (2 * w - 1)) // b)) + 1  # == _nc_of(0, n, b)
+    return (nc0 + 2) // 3
+
+
+def wave_chase_supported(n, band):
+    """Gate: vmem residency + head/lane slab disjointness (b >= 32)."""
+    b = int(band)
+    if b < 32 or b > 128 or b % 8 != 0:
+        return False
+    Npad = -(-(n + 3 * b + 8) // 128) * 128
+    if Npad * D * 4 > 14 * 1024 * 1024:
+        return False
+    return n >= 2 and _n_lanes(n, b) <= 128
+
+
+def wave_chase_preferred(n, band):
+    """True when this kernel should take the routing slot: past the HBM
+    window kernel's row-stride cliff (below it the dense window kernel
+    still wins: 10 vs 13 ms at n=1024) and within the VMEM-residency gate.
+    Measured same-session at band=128 (5-rep loops): n=3840 wave 62 ms vs
+    stream 67 / window 162; n=4992 wave 100 vs stream 132 / window 267 —
+    and unlike the sequential vmem kernel it has measured session-stable
+    (62-66 ms at n=3840 across sessions vs 68-153 for vmem)."""
+    b = int(band)
+    if not wave_chase_supported(n, b):
+        return False
+    from svdsolver_tpu.ops.pallas.band_chase_vmem import _HBM_FAST_LANES
+
+    mc = -(-2 * b // 128) * 128 + 128
+    dense_lanes = -(-(n + b + mc + 16) // 128) * 128
+    return dense_lanes > _HBM_FAST_LANES
+
+
+def band_to_bidiagonal_pallas_wave(A, band=128):
+    """Wavefront-batched packed chase; returns (d, e).  Callers gate via
+    :func:`wave_chase_supported`."""
+    with jax.enable_x64(False):
+        return _band_to_bidiagonal_pallas_wave(A, band=band)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def _band_to_bidiagonal_pallas_wave(A, band=128):
+    n = A.shape[0]
+    b = int(band)
+    dtype = A.dtype
+    if n < 2:
+        return jnp.abs(jnp.diag(A)), jnp.zeros((0,), dtype)
+    if not wave_chase_supported(n, b):
+        raise ValueError(f"wave chase unsupported for n={n}, band={b}")
+    Npad = -(-(n + 3 * b + 8) // 128) * 128
+    nb = Npad // 128
+    n128 = -(-n // 128) * 128
+    L = _n_lanes(n, b)
+    Lp = -(-L // LANE_PAD) * LANE_PAD
+    if n128 != n:
+        A = jnp.pad(A, ((0, n128 - n), (0, n128 - n)))
+    d2, e2 = pl.pallas_call(
+        functools.partial(_wave_chase_kernel, n, b, Npad, L),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 128), dtype),
+            jax.ShapeDtypeStruct((nb, 128), dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Npad, D), dtype),
+            pltpu.VMEM((Lp, WR), dtype),
+            pltpu.VMEM((b + 8, 128), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(A)
+    d = d2.reshape(-1)[:n]
+    e = e2.reshape(-1)[: n - 1]
+    return d, e

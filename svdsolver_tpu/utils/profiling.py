@@ -55,9 +55,16 @@ def stage_timings(A, band=None, method="tpu2", diag="bisect", warmup=True):
         )
         from svdsolver_tpu.ops.pallas.panel_qr import dense_to_band_pallas
 
+        from svdsolver_tpu.ops.pallas.band_chase_wave import (
+            band_to_bidiagonal_pallas_wave,
+            wave_chase_preferred,
+        )
+
         stage1 = dense_to_band_pallas
         # mirror svd.py's routing so the breakdown reflects the real pipeline
-        if stream_chase_preferred(A.shape[0], band):
+        if wave_chase_preferred(A.shape[0], band):
+            stage2 = band_to_bidiagonal_pallas_wave
+        elif stream_chase_preferred(A.shape[0], band):
             stage2 = band_to_bidiagonal_pallas_stream
         else:
             stage2 = band_to_bidiagonal_pallas

@@ -232,3 +232,31 @@ def test_pallas_chase_stream_bitwise_vs_vmem(rng, n, b):
     want = np.linalg.svd(np.asarray(A).astype(np.float64), compute_uv=False)
     got = np.linalg.svd(B.astype(np.float64), compute_uv=False)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5 * want[0])
+
+
+@pytest.mark.parametrize("n,b", [(384, 64), (640, 128), (192, 32), (520, 40)])
+def test_pallas_chase_wave_bitwise_vs_vmem(rng, n, b):
+    # wavefront-batched chase: the pipelined-sweep schedule (3-tick spacing,
+    # disjoint lanes) with larfg construction batched across lanes.  Lanes
+    # operate on disjoint slabs and the reductions are per-lane, so d/e must
+    # be BITWISE identical to the sequential VMEM kernel.  (520, 40) covers
+    # non-128-aligned n and a non-power-of-two band; 640/128 runs 2 lanes.
+    from svdsolver_tpu.ops.pallas.band_chase_wave import (
+        band_to_bidiagonal_pallas_wave,
+        wave_chase_supported,
+    )
+    from svdsolver_tpu.ops.pallas.band_chase_vmem import (
+        band_to_bidiagonal_pallas_vmem,
+    )
+
+    assert wave_chase_supported(n, b)
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ab = dense_to_band(A, band=b)
+    d1, e1 = band_to_bidiagonal_pallas_vmem(Ab, band=b)
+    d2, e2 = band_to_bidiagonal_pallas_wave(Ab, band=b)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    B = np.diag(np.asarray(d2)) + np.diag(np.asarray(e2), 1)
+    want = np.linalg.svd(np.asarray(A).astype(np.float64), compute_uv=False)
+    got = np.linalg.svd(B.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5 * want[0])

@@ -157,3 +157,28 @@ def test_chase_accum_factorization(rng):
     R = np.asarray(_apply_chase_reflectors(VR, TR, I, b, reverse=True))
     np.testing.assert_allclose(L.T @ L, np.eye(n), atol=1e-12)
     np.testing.assert_allclose(L @ B @ R.T, np.asarray(Ab), atol=1e-11)
+
+
+@pytest.mark.parametrize("n,b", [(48, 8), (96, 16), (72, 8)])
+def test_chase_apply_wy_matches_rank1(rng, n, b):
+    # grouped compact-WY back-transform must realize the SAME operator as
+    # the per-sweep rank-1 application (f64 so the reordering's rounding
+    # differences stay ~1e-13); n=96/b=16 has a ragged last group,
+    # n=72/b=8 multiple full groups.
+    from svdsolver_tpu.models.two_stage import (
+        dense_to_band,
+        band_to_bidiagonal_accum,
+    )
+    from svdsolver_tpu.models.vectors import (
+        _apply_chase_reflectors,
+        _apply_chase_reflectors_wy,
+    )
+
+    A = jnp.asarray(rng.normal(size=(n, n)))
+    Ab = dense_to_band(A, band=b)
+    _, _, VL, TL, VR, TR = band_to_bidiagonal_accum(Ab, band=b)
+    M = jnp.asarray(rng.normal(size=(n, n)))
+    for V, T in ((VL, TL), (VR, TR)):
+        want = np.asarray(_apply_chase_reflectors(V, T, M, b, reverse=True))
+        got = np.asarray(_apply_chase_reflectors_wy(V, T, M, b))
+        np.testing.assert_allclose(got, want, atol=1e-12 * np.abs(want).max())
