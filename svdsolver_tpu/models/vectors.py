@@ -516,7 +516,12 @@ def svd_two_stage(A, band=None):
     pad = (-n) % b
     if pad:
         A = jnp.pad(A, ((0, pad), (0, pad)))
-    Ab, U1, V1 = dense_to_band_uv(A, band=b)
+    if use_pallas(A.dtype) and b % 8 == 0:
+        from svdsolver_tpu.ops.pallas.panel_qr import dense_to_band_uv_pallas
+
+        Ab, U1, V1 = dense_to_band_uv_pallas(A, band=b)
+    else:
+        Ab, U1, V1 = dense_to_band_uv(A, band=b)
     if use_pallas(A.dtype) and b % 8 == 0:
         # single-launch device-resident chase with record accumulation
         from svdsolver_tpu.ops.pallas.band_chase import (

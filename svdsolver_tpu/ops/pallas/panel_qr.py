@@ -158,6 +158,53 @@ def _dense_to_band_pallas(A, band=128, segments=4):
     return A
 
 
+def dense_to_band_uv_pallas(A, band=128):
+    """Stage I with U1/V1 accumulation, Pallas panel factorizations.
+
+    Returns ``(Ab, U1, V1)`` with ``A = U1 @ Ab @ V1^T`` — the Pallas
+    counterpart of models/two_stage.dense_to_band_uv (differential-tested):
+    the panel column loops run on-chip and the per-panel factor updates
+    ``U1 <- U1 (I - V T V^T)`` are MXU GEMMs on the kernel's (V, T^T)
+    outputs.  No segment shrinking: the factor updates are full-width
+    anyway.  fp32/TPU.
+    """
+    with jax.enable_x64(False):
+        return _dense_to_band_uv_pallas(A, band=band)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def _dense_to_band_uv_pallas(A, band=128):
+    from svdsolver_tpu.ops.precision import pdot
+
+    n = A.shape[0]
+    b = int(band)
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("dense_to_band_uv_pallas expects a square matrix")
+    if n % b != 0:
+        raise ValueError(f"n={n} must be divisible by band={b}")
+    dtype = A.dtype
+
+    def step(k, carry):
+        S, U1, V1 = carry
+        c = k * b
+        Pt = lax.dynamic_slice(S, (0, c), (n, b)).T
+        Rt, Vt, Tt = _panel_qr_pallas(Pt, c, b)
+        W = pdot(Vt, S)
+        S = S - pdot(Vt.T, pdot(Tt, W))  # Tt = T^T: A - V T^T (V^T A)
+        S = lax.dynamic_update_slice(S, Rt.T, (0, c))
+        U1 = U1 - pdot(pdot(pdot(U1, Vt.T), Tt.T), Vt)  # U1 (I - V T V^T)
+        Sl = lax.dynamic_slice(S, (c, 0), (b, n))
+        Rt2, Vt2, Tt2 = _panel_qr_pallas(Sl, c + b, b)
+        AV = pdot(S, Vt2.T)
+        S = S - pdot(pdot(AV, Tt2.T), Vt2)
+        S = lax.dynamic_update_slice(S, Rt2, (c, 0))
+        V1 = V1 - pdot(pdot(pdot(V1, Vt2.T), Tt2.T), Vt2)
+        return S, U1, V1
+
+    eye = jnp.eye(n, dtype=dtype)
+    return lax.fori_loop(0, n // b, step, (A, eye, eye))
+
+
 @functools.partial(jax.jit, static_argnames=("band",))
 def _panel_qr_pallas(A_panel_t, r_off, band):
     b = int(band)

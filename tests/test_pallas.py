@@ -234,6 +234,26 @@ def test_pallas_chase_stream_bitwise_vs_vmem(rng, n, b):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5 * want[0])
 
 
+def test_pallas_dense_to_band_uv(rng):
+    # Pallas-panel Stage I with factor accumulation: A = U1 Ab V1^T with
+    # orthogonal U1/V1 and Ab matching the XLA uv path's band form.
+    from svdsolver_tpu.ops.pallas.panel_qr import dense_to_band_uv_pallas
+
+    n, b = 256, 64
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ab, U1, V1 = (
+        np.asarray(x) for x in dense_to_band_uv_pallas(A, band=b)
+    )
+    An = np.asarray(A)
+    assert np.abs(U1.T @ U1 - np.eye(n)).max() < 1e-5
+    assert np.abs(V1.T @ V1 - np.eye(n)).max() < 1e-5
+    nrm = np.abs(An).max()
+    assert np.abs(U1 @ Ab @ V1.T - An).max() / nrm < 1e-5
+    # band structure: zero below diag and beyond band above
+    assert np.abs(np.tril(Ab, -1)).max() < 1e-4 * nrm
+    assert np.abs(np.triu(Ab, b + 1)).max() < 1e-4 * nrm
+
+
 @pytest.mark.parametrize("n,b", [(384, 64), (640, 128), (192, 32), (520, 40)])
 def test_pallas_chase_wave_bitwise_vs_vmem(rng, n, b):
     # wavefront-batched chase: the pipelined-sweep schedule (3-tick spacing,
