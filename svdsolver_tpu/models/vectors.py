@@ -527,8 +527,20 @@ def svd_two_stage(A, band=None):
         from svdsolver_tpu.ops.pallas.band_chase import (
             band_to_bidiagonal_pallas_accum,
         )
+        from svdsolver_tpu.ops.pallas.band_chase_wave import (
+            band_to_bidiagonal_pallas_wave_accum,
+            wave_chase_accum_preferred,
+        )
 
-        d, e, VL, TL, VR, TR = band_to_bidiagonal_pallas_accum(Ab, band=b)
+        if wave_chase_accum_preferred(Ab.shape[0], b):
+            # past the HBM row-stride cliff: VMEM-resident recording chase
+            d, e, VL, TL, VR, TR = band_to_bidiagonal_pallas_wave_accum(
+                Ab, band=b
+            )
+        else:
+            d, e, VL, TL, VR, TR = band_to_bidiagonal_pallas_accum(
+                Ab, band=b
+            )
     else:
         d, e, VL, TL, VR, TR = band_to_bidiagonal_accum(Ab, band=b)
     # trim record slots the schedule never fills (Pallas pads s_max to 8)

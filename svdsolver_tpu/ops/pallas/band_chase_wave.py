@@ -284,6 +284,258 @@ def _wave_chase_kernel(n, b, Npad, L, A_in, d_out, e_out, P, PR, XC, sem):
         e_out[br : br + 1, :] = esum[:, 1:129]
 
 
+def _left_make_v(xcol, ro1, b):
+    """Single-column larfg on a (Q, 1) packed pivot column (pivot at
+    sublane ``ro1``) — the scalar chain of band_chase_vmem._left_elim,
+    used by the recording kernel's head path."""
+    dtype = xcol.dtype
+    zero = jnp.zeros((), dtype)
+    one = jnp.ones((), dtype)
+    qi = lax.broadcasted_iota(jnp.int32, xcol.shape, 0)
+    tail = jnp.logical_and(qi > ro1, qi < ro1 + b)
+    xt = jnp.where(tail, xcol, zero)
+    pivot = jnp.sum(jnp.where(qi == ro1, xcol, zero), axis=0, keepdims=True)
+    sigma2 = jnp.sum(xt * xt, axis=0, keepdims=True)
+    norm = jnp.sqrt(pivot * pivot + sigma2)
+    sign = jnp.where(pivot >= 0, one, -one)
+    beta = -sign * norm
+    trivial = sigma2 == zero
+    denom = jnp.where(trivial, one, pivot - beta)
+    v = jnp.where(tail, xt / denom, zero) + jnp.where(qi == ro1, one, zero)
+    safe_beta = jnp.where(beta == 0, one, beta)
+    tau = jnp.where(trivial, zero, (beta - pivot) / safe_beta)
+    return v, tau
+
+
+def _wave_chase_rec_kernel(
+    n, b, Npad, L, NB, s_pad,
+    A_in,
+    d_out, e_out, VRr, VLr,
+    P, PR, XC, RECR, RECL, sem, sem_rec,
+):
+    """Recording variant of :func:`_wave_chase_kernel` (``b == 128``):
+    the same wavefront-batched chase, additionally capturing every
+    reflector for singular-vector back-transformation.
+
+    Records accumulate in per-sweep VMEM blocks (``RECR``/``RECL``,
+    ``NB`` rotating (s_pad, 512) blocks — NB > max sweeps in flight), one
+    dynamic row store per elimination, and flush to HBM once per sweep at
+    its last hop: one ``pltpu.roll`` canonicalizes the whole sweep's
+    records (b == 128 makes the lane offset sweep-invariant — the same
+    trick as band_chase._chase_kernel_rec), then one DMA per side.  Left
+    reflectors are columns; a single identity-contraction MXU transpose
+    per tick turns ALL lanes' columns into record rows at once (exact:
+    one nonzero product per output), replacing the per-pair mask-reduce
+    transpose that dominates the HBM recording kernel's overhead.
+
+    Taus are not stored; the host recovers tau = 2 / (v^T v).
+    """
+    w = b + 1
+    dtype = P.dtype
+    zero = jnp.zeros((), dtype)
+    Lp = PR.shape[0]
+    Q = b + 8
+    n128 = -(-n // 128) * 128
+
+    # ---- pack (identical to band_chase_vmem) ----------------------------
+    P[...] = jnp.zeros(P.shape, dtype)
+    for br in range(Npad // 128):
+        r0 = 128 * br
+        if r0 >= n128:
+            continue
+        c0 = 128 * br - 128
+        l0 = max(0, -c0)
+        cs = c0 + l0
+        cw = min(D - l0, n128 - cs)
+        if cw <= 0:
+            continue
+        cp = pltpu.make_async_copy(
+            A_in.at[pl.ds(r0, 128), pl.ds(cs, cw)],
+            P.at[pl.ds(r0, 128), pl.ds(l0, cw)],
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+    lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
+    qi8 = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    li = lax.broadcasted_iota(jnp.int32, (Lp, 1), 0)
+    cj_t = lax.broadcasted_iota(jnp.int32, (Q, 1), 0)
+    lj_t = lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    # identity (Q, 256) for the MXU column->row transpose
+    eyeQ = jnp.where(cj_t == lj_t, jnp.ones((), dtype), zero)
+
+    def flush(i_s, buf):
+        """Canonicalize + flush sweep ``i_s``'s records (its last hop).
+
+        Right records live in packed zone-0 lane coords: hop slot support
+        starts at lane 256 + co (x = b + r%128 + 128, b == 128), the head
+        slot 128 lower (x = 1 + i%128 + 128) — one whole-block roll plus a
+        static row-0 patch.  Left records are in slab-local row coords
+        (sweep-invariant pivot sublane ro for head AND hops)."""
+        co = lax.rem(i_s + 1, jnp.int32(128))
+        coh = lax.rem(i_s, jnp.int32(128))  # head support: lane 129 + coh
+        ro = lax.rem(i_s + 1, jnp.int32(8))
+        blkR = RECR[pl.ds(buf * s_pad, s_pad), :]
+        rolled = pltpu.roll(blkR, -(co + 256), axis=1)
+        RECR[pl.ds(buf * s_pad, s_pad), :] = rolled
+        top = pltpu.roll(blkR[0:1, :], -(coh + 129), axis=1)
+        RECR[pl.ds(buf * s_pad, 1), :] = top
+        blkL = RECL[pl.ds(buf * s_pad, s_pad), :]
+        RECL[pl.ds(buf * s_pad, s_pad), :] = pltpu.roll(blkL, -ro, axis=1)
+        cps = [
+            pltpu.make_async_copy(
+                RECR.at[pl.ds(buf * s_pad, s_pad), pl.ds(0, 128)],
+                VRr.at[pl.ds(i_s * s_pad, s_pad)],
+                sem_rec.at[0],
+            ),
+            pltpu.make_async_copy(
+                RECL.at[pl.ds(buf * s_pad, s_pad), pl.ds(0, 128)],
+                VLr.at[pl.ds(i_s * s_pad, s_pad)],
+                sem_rec.at[1],
+            ),
+        ]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+    def tick(T, carry):
+        # ---- head (sweep T//3's k=0 pair), recording ---------------------
+        @pl.when(jnp.logical_and(T % 3 == 0, T // 3 <= n - 2))
+        def _head():
+            i = T // 3
+            bufh = lax.rem(i, jnp.int32(NB))
+            RECR[pl.ds(bufh * s_pad, s_pad), :] = jnp.zeros(
+                (s_pad, WR), dtype
+            )
+            RECL[pl.ds(bufh * s_pad, s_pad), :] = jnp.zeros(
+                (s_pad, WR), dtype
+            )
+            r8 = (i // 8) * 8
+            ro = i - r8
+            rows8 = P[pl.ds(r8, 8), :WR]
+            prow = jnp.sum(
+                jnp.where(qi8 == ro, rows8, zero), axis=0, keepdims=True
+            )
+            xh = 1 + lax.rem(i, jnp.int32(128)) + 128
+            vh, tauh = _make_v(prow, xh, b, lane_r)
+            _right_apply(P, b, i, vh, tauh, b + 8, w)
+            RECR[pl.ds(bufh * s_pad, 1), :] = jnp.where(
+                tauh == 0, zero, vh
+            )
+            xcol = _left_xcol(P, b, i + 1)
+            ro1 = i + 1 - ((i + 1) // 8) * 8
+            vl, taul_h = _left_make_v(xcol, ro1, b)
+            _left_apply(P, b, i + 1, vl, taul_h)
+            vl_row = jnp.sum(
+                jnp.where(cj_t == lj_t, vl, zero), axis=0, keepdims=True
+            )  # (1, 256): entry j = vl[j]
+            vl_row = jnp.where(taul_h == 0, zero, vl_row)
+            RECL[pl.ds(bufh * s_pad, 1), pl.ds(0, 256)] = vl_row
+
+        # ---- hop lanes (as in the plain kernel) --------------------------
+        i_base = (T + 2) // 3 - 1
+        iv = i_base - li
+        kv = T - 3 * iv
+        rv = iv + 1 + (kv - 1) * b
+
+        def lane(l):
+            i_l = i_base - l
+            k_l = T - 3 * i_l
+            r_l = i_l + 1 + (k_l - 1) * b
+            act = jnp.logical_and(
+                jnp.logical_and(i_l >= 0, i_l <= n - 2),
+                k_l <= _nc_of(i_l, n, b),
+            )
+            return i_l, k_l, r_l, act
+
+        for l in range(L):
+            _, _, r_l, act = lane(l)
+
+            @pl.when(act)
+            def _gather(r_l=r_l, l=l):
+                r8 = (r_l // 8) * 8
+                ro = r_l - r8
+                rows8 = P[pl.ds(r8, 8), :WR]
+                PR[l : l + 1, :] = jnp.sum(
+                    jnp.where(qi8 == ro, rows8, zero), axis=0, keepdims=True
+                )
+
+        xv = b + lax.rem(rv, jnp.int32(128)) + 128
+        Vr, taur = _make_v(PR[...], xv, b, lane_r)
+        Vrm = jnp.where(taur == 0, zero, Vr)
+
+        for l in range(L):
+            i_l, k_l, r_l, act = lane(l)
+
+            @pl.when(act)
+            def _right(i_l=i_l, k_l=k_l, r_l=r_l, l=l):
+                _right_apply(
+                    P, b, r_l, Vr[l : l + 1, :], taur[l : l + 1, :], 2 * b,
+                    2 * b,
+                )
+                row = lax.rem(i_l, jnp.int32(NB)) * s_pad + k_l
+                RECR[pl.ds(row, 1), :] = Vrm[l : l + 1, :]
+
+        for l in range(L):
+            _, _, r_l, act = lane(l)
+
+            @pl.when(act)
+            def _extract(r_l=r_l, l=l):
+                XC[:, l : l + 1] = _left_xcol(P, b, r_l + b)
+
+        lc = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        ivc = i_base - lc
+        r1c = ivc + 1 + (T - 3 * ivc - 1) * b + b
+        ro1c = r1c - (r1c // 8) * 8
+        Vl, taul = _left_make_v_batched(XC[...], ro1c, b)
+        # ALL lanes' left columns -> record rows in one exact MXU transpose
+        Vlm = jnp.where(taul == 0, zero, Vl)
+        VlT = jax.lax.dot_general(
+            Vlm, eyeQ, (((0,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=dtype,
+        )  # (128, 256): row l = lane l's column
+
+        for l in range(L):
+            i_l, k_l, r_l, act = lane(l)
+
+            @pl.when(act)
+            def _left(i_l=i_l, k_l=k_l, r_l=r_l, l=l):
+                _left_apply(
+                    P, b, r_l + b, Vl[:, l : l + 1], taul[:, l : l + 1]
+                )
+                row = lax.rem(i_l, jnp.int32(NB)) * s_pad + k_l
+                RECL[pl.ds(row, 1), pl.ds(0, 256)] = VlT[l : l + 1, :]
+
+            @pl.when(jnp.logical_and(act, k_l == _nc_of(i_l, n, b)))
+            def _flush(i_l=i_l, l=l):
+                flush(i_l, lax.rem(i_l, jnp.int32(NB)))
+
+        return carry
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(3 * (n - 2) + 2), tick, 0)
+
+    # ---- extract d/e (identical to band_chase_vmem) ---------------------
+    eli = lax.broadcasted_iota(jnp.int32, (128, 256), 1)
+    eri = lax.broadcasted_iota(jnp.int32, (128, 256), 0)
+    for br in range(Npad // 128):
+        if 128 * br >= n:
+            d_out[br : br + 1, :] = jnp.zeros((1, 128), dtype)
+            e_out[br : br + 1, :] = jnp.zeros((1, 128), dtype)
+            continue
+        blk = P[128 * br : 128 * br + 128, 128:384]
+        dsum = jnp.sum(
+            jnp.where(eli == eri, blk, zero), axis=0, keepdims=True
+        )
+        esum = jnp.sum(
+            jnp.where(eli == eri + 1, blk, zero), axis=0, keepdims=True
+        )
+        d_out[br : br + 1, :] = dsum[:, 0:128]
+        e_out[br : br + 1, :] = esum[:, 1:129]
+
+
 def _n_lanes(n, b):
     """Max concurrent hop lanes = ceil(max_sweep_hops / 3)."""
     w = b + 1
@@ -300,6 +552,106 @@ def wave_chase_supported(n, band):
     if Npad * D * 4 > 14 * 1024 * 1024:
         return False
     return n >= 2 and _n_lanes(n, b) <= 128
+
+
+def _rec_spad(n, b):
+    """Record slots per sweep (top + chase), sublane-padded to 8."""
+    w = b + 1
+    s_max = max(0, -(-(n - (2 * w - 1)) // b)) + 2
+    return -(-s_max // 8) * 8
+
+
+def wave_chase_accum_supported(n, band):
+    """Gate for the recording wave chase: b == 128 (per-sweep-invariant
+    record lane offsets) and packed band + record blocks resident in VMEM."""
+    b = int(band)
+    if b != 128 or n < 2:
+        return False
+    Npad = -(-(n + 3 * b + 8) // 128) * 128
+    NB = _n_lanes(n, b) + 2
+    rec_bytes = 2 * NB * _rec_spad(n, b) * WR * 4
+    return Npad * D * 4 + rec_bytes <= 13 * 1024 * 1024
+
+
+def wave_chase_accum_preferred(n, band):
+    """Route the recording wave chase only past the HBM window kernel's
+    row-stride cliff: measured at band=128, the HBM recording kernel wins
+    below it (87 vs 101 ms at n=2048) and collapses past it (222 vs 126 ms
+    at n=3840)."""
+    b = int(band)
+    if not wave_chase_accum_supported(n, b):
+        return False
+    from svdsolver_tpu.ops.pallas.band_chase_vmem import _HBM_FAST_LANES
+
+    mc = -(-2 * b // 128) * 128 + 128
+    dense_lanes = -(-(n + b + mc + 16) // 128) * 128
+    return dense_lanes > _HBM_FAST_LANES
+
+
+def band_to_bidiagonal_pallas_wave_accum(A, band=128):
+    """Recording wavefront chase; returns ``(d, e, VL, TL, VR, TR)`` with
+    the same record convention as band_chase.band_to_bidiagonal_pallas_accum
+    (reflector (i, s) supported on rows/cols ``[i+1+s*band, i+1+(s+1)*band)``).
+    Callers gate via :func:`wave_chase_accum_supported`."""
+    with jax.enable_x64(False):
+        return _band_to_bidiagonal_pallas_wave_accum(A, band=band)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def _band_to_bidiagonal_pallas_wave_accum(A, band=128):
+    n = A.shape[0]
+    b = int(band)
+    dtype = A.dtype
+    if not wave_chase_accum_supported(n, b):
+        raise ValueError(f"wave accum chase unsupported for n={n}, band={b}")
+    Npad = -(-(n + 3 * b + 8) // 128) * 128
+    nb = Npad // 128
+    n128 = -(-n // 128) * 128
+    L = _n_lanes(n, b)
+    Lp = -(-L // LANE_PAD) * LANE_PAD
+    NB = L + 2
+    s_pad = _rec_spad(n, b)
+    if n128 != n:
+        A = jnp.pad(A, ((0, n128 - n), (0, n128 - n)))
+    d2, e2, VRr, VLr = pl.pallas_call(
+        functools.partial(
+            _wave_chase_rec_kernel, n, b, Npad, L, NB, s_pad
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 128), dtype),
+            jax.ShapeDtypeStruct((nb, 128), dtype),
+            jax.ShapeDtypeStruct(((n - 1) * s_pad, 128), dtype),
+            jax.ShapeDtypeStruct(((n - 1) * s_pad, 128), dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Npad, D), dtype),
+            pltpu.VMEM((Lp, WR), dtype),
+            pltpu.VMEM((b + 8, 128), dtype),
+            pltpu.VMEM((NB * s_pad, WR), dtype),
+            pltpu.VMEM((NB * s_pad, WR), dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(A)
+    d = d2.reshape(-1)[:n]
+    e = e2.reshape(-1)[: n - 1]
+    s_max = max(0, -(-(n - (2 * (b + 1) - 1)) // b)) + 2
+    VR = VRr.reshape(n - 1, s_pad, 128)[:, :s_max, :b]
+    VL = VLr.reshape(n - 1, s_pad, 128)[:, :s_max, :b]
+
+    def tau_from_v(V):
+        nrm2 = jnp.sum(V * V, axis=-1)
+        return jnp.where(nrm2 == 0, jnp.zeros((), dtype), 2.0 / nrm2)
+
+    return d, e, VL, tau_from_v(VL), VR, tau_from_v(VR)
 
 
 def wave_chase_preferred(n, band):

@@ -234,6 +234,35 @@ def test_pallas_chase_stream_bitwise_vs_vmem(rng, n, b):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5 * want[0])
 
 
+def test_pallas_chase_wave_accum(rng):
+    # recording wavefront chase: d/e bitwise vs the plain wave kernel, and
+    # the records must reconstruct Ab = L B R^T with orthogonal L, R
+    # (applied via the independent rank-1 code path).
+    from svdsolver_tpu.ops.pallas.band_chase_wave import (
+        band_to_bidiagonal_pallas_wave,
+        band_to_bidiagonal_pallas_wave_accum,
+        wave_chase_accum_supported,
+    )
+    from svdsolver_tpu.models.vectors import _apply_chase_reflectors
+
+    n, b = 512, 128
+    assert wave_chase_accum_supported(n, b)
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ab = dense_to_band(A, band=b)
+    d0, e0 = band_to_bidiagonal_pallas_wave(Ab, band=b)
+    d, e, VL, TL, VR, TR = band_to_bidiagonal_pallas_wave_accum(Ab, band=b)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d))
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e))
+    B = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+    eye = jnp.eye(n, dtype=A.dtype)
+    L = np.asarray(_apply_chase_reflectors(VL, TL, eye, b, reverse=True))
+    R = np.asarray(_apply_chase_reflectors(VR, TR, eye, b, reverse=True))
+    assert np.abs(L.T @ L - np.eye(n)).max() < 1e-5
+    assert np.abs(R.T @ R - np.eye(n)).max() < 1e-5
+    nrm = np.abs(np.asarray(Ab)).max()
+    assert np.abs(L @ B @ R.T - np.asarray(Ab)).max() / nrm < 1e-5
+
+
 def test_pallas_dense_to_band_uv(rng):
     # Pallas-panel Stage I with factor accumulation: A = U1 Ab V1^T with
     # orthogonal U1/V1 and Ab matching the XLA uv path's band form.
