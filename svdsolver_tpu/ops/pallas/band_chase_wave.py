@@ -362,8 +362,6 @@ def _wave_chase_rec_kernel(
     li = lax.broadcasted_iota(jnp.int32, (Lp, 1), 0)
     cj_t = lax.broadcasted_iota(jnp.int32, (Q, 1), 0)
     lj_t = lax.broadcasted_iota(jnp.int32, (1, 256), 1)
-    # identity (Q, 256) for the MXU column->row transpose
-    eyeQ = jnp.where(cj_t == lj_t, jnp.ones((), dtype), zero)
 
     def flush(i_s, buf):
         """Canonicalize + flush sweep ``i_s``'s records (its last hop).
@@ -490,13 +488,14 @@ def _wave_chase_rec_kernel(
         r1c = ivc + 1 + (T - 3 * ivc - 1) * b + b
         ro1c = r1c - (r1c // 8) * 8
         Vl, taul = _left_make_v_batched(XC[...], ro1c, b)
-        # ALL lanes' left columns -> record rows in one exact MXU transpose
+        # ALL lanes' left columns -> record rows in one exact transpose
+        # (Mosaic lowers lax.transpose natively; measured far cheaper than
+        # the MXU identity-contraction alternative)
         Vlm = jnp.where(taul == 0, zero, Vl)
-        VlT = jax.lax.dot_general(
-            Vlm, eyeQ, (((0,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=dtype,
-        )  # (128, 256): row l = lane l's column
+        VlT = lax.transpose(Vlm, (1, 0))  # (128, Q): row l = lane l's col
+        VlT = jnp.concatenate(
+            [VlT, jnp.zeros((128, 256 - Q), dtype)], axis=1
+        )
 
         for l in range(L):
             i_l, k_l, r_l, act = lane(l)
