@@ -12,6 +12,7 @@ from svdsolver_tpu.parallel.distributed import (
     svdvals_batch_sharded,
     svdvals_batch_sharded_gspmd,
     svdvals_sharded,
+    svd_sharded,
     dense_to_band_sharded,
     dense_to_band_shardmap,
     dryrun,
@@ -22,6 +23,7 @@ __all__ = [
     "svdvals_batch_sharded",
     "svdvals_batch_sharded_gspmd",
     "svdvals_sharded",
+    "svd_sharded",
     "dense_to_band_sharded",
     "dense_to_band_shardmap",
     "dryrun",

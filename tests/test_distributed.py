@@ -80,6 +80,22 @@ def test_svdvals_sharded_single_matrix(cpu_mesh, rng):
     assert np.max(np.abs(sig - ref)) / ref[0] < 1e-4
 
 
+def test_svd_sharded_full(cpu_mesh, rng):
+    # multi-chip FULL SVD: Stage I + factor accumulation sharded over tp,
+    # back-transforms on column blocks, final contractions by psum_scatter
+    from svdsolver_tpu.parallel.distributed import svd_sharded
+
+    n, band = 64, 8
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    U, s, Vh = (np.asarray(x) for x in svd_sharded(A, cpu_mesh, band=band))
+    An = np.asarray(A)
+    ref = np.linalg.svd(An.astype(np.float64), compute_uv=False)
+    assert np.max(np.abs(s - ref)) / ref[0] < 1e-4
+    assert np.abs(U.T @ U - np.eye(n)).max() < 1e-4
+    assert np.abs(Vh @ Vh.T - np.eye(n)).max() < 1e-4
+    assert np.abs(U @ np.diag(s) @ Vh - An).max() / np.abs(An).max() < 1e-4
+
+
 def test_batch_gspmd_matches(cpu_mesh, rng):
     from svdsolver_tpu.parallel.distributed import svdvals_batch_sharded_gspmd
 
