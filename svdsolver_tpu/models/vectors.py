@@ -127,8 +127,9 @@ def bidiagonalize_blocked_uv(A, panel=32):
     return d, e[: n - 1], Uacc, Vacc
 
 
-def _cluster_orthogonalize(x, sig, ctol, width=8):
-    """Gram-Schmidt within clusters of close singular values, in TGK space.
+def _cluster_orthogonalize(x, sig, ctol, passes=2):
+    """Orthonormalize within clusters of close singular values, in TGK space,
+    by cluster-blocked CholeskyQR — width-unlimited and MXU-shaped.
 
     ``x``: (2n, n) TGK eigenvector columns for the shifts ``sig`` (sorted,
     so clusters are contiguous).  Orthogonality of TGK eigenvectors implies
@@ -137,10 +138,17 @@ def _cluster_orthogonalize(x, sig, ctol, width=8):
     eigen-residual), so orthogonalizing here preserves the U/V coupling —
     orthogonalizing U and V independently would not.
 
-    Clusters wider than ``width`` are orthogonalized only against the
-    nearest ``width-1`` members (documented limitation).
+    Method: the cluster-masked Gram ``Gc = I + M o (X^T X - I)`` (M the
+    block mask ``rid_i == rid_j``) is block-diagonal SPD, so ``X L^{-T}``
+    with ``L = chol(Gc)`` orthonormalizes every cluster at once while
+    leaving singleton columns untouched — three MXU/blocked ops (GEMM,
+    cholesky, triangular solve) regardless of cluster width, where
+    positional MGS would need one pass per member.  Two passes
+    (CholeskyQR2) reach machine orthogonality for block condition numbers
+    up to ~1/sqrt(eps); columns of a failed (non-PD, NaN-producing) block
+    fall back to their input values rather than poisoning the lanes.
     """
-    N, n = x.shape
+    n = x.shape[1]
     dtype = x.dtype
     smax = jnp.max(jnp.abs(sig))
     linked = jnp.abs(sig[1:] - sig[:-1]) <= ctol * smax  # (n-1,)
@@ -149,34 +157,32 @@ def _cluster_orthogonalize(x, sig, ctol, width=8):
                          1 - linked.astype(jnp.int32)])
     )  # cluster id per column
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-    idx = jnp.arange(n)
-    # cluster position of each column (0 = cluster head); positions beyond
-    # the window saturate at width-1 (wide-cluster tails update together —
-    # their predecessors are then pre-step values; acceptable within the
-    # documented wide-cluster limitation, and the polar polish absorbs it)
-    is_start = jnp.concatenate([jnp.ones((1,), bool), ~linked])
-    pos = idx - jnp.maximum.accumulate(jnp.where(is_start, idx, 0))
-    pos = jnp.minimum(pos, int(width) - 1)
-
-    # Batched MGS by cluster position: at step p (static), ALL columns at
-    # in-cluster position p across every cluster update together against
-    # their already-final predecessors (positions < p) — O(n^2) elementwise
-    # passes instead of a length-n sequential loop of per-column dynamic
-    # slices (67 ms -> ~6 ms at n=3840).  The per-column math (normalized
-    # projections, o ascending) matches the sequential formulation.
-    for p in range(1, int(width)):
-        for o in range(1, p + 1):
-            upd = pos == p
-            same = jnp.zeros((n,), bool).at[o:].set(rid[o:] == rid[:-o])
-            upd = jnp.logical_and(upd, same)
-            prev = jnp.concatenate(
-                [jnp.zeros((N, o), dtype), x[:, : n - o]], axis=1
-            )
-            num = jnp.sum(prev * x, axis=0)
-            den = jnp.maximum(jnp.sum(prev * prev, axis=0), tiny)
-            x = x - jnp.where(
-                upd, num / den, jnp.zeros((), dtype)
-            )[None, :] * prev
+    nrm = jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=0), tiny))
+    x = x / nrm[None, :]
+    mask = rid[:, None] == rid[None, :]
+    eye = jnp.eye(n, dtype=dtype)
+    # shifted CholeskyQR: a Gram matrix is PSD up to ~n*eps roundoff, so
+    # this diagonal shift keeps chol PD even for rank-deficient blocks
+    # (whose NaNs would otherwise propagate through the 0*NaN off-blocks);
+    # the bias it adds is removed by the later passes / polar polish.
+    shift = jnp.asarray(4 * n, dtype) * jnp.asarray(
+        jnp.finfo(dtype).eps, dtype
+    )
+    for p in range(int(passes)):
+        # shift only the first pass (shifted CholeskyQR3 schedule): once a
+        # pass has run, the Gram is near-identity and chol is safely PD —
+        # an unshifted final pass removes the first pass's O(shift) bias.
+        s_p = shift if p == 0 else jnp.zeros((), dtype)
+        G = pdot(x.T, x)
+        Gc = jnp.where(mask, G, jnp.zeros((), dtype)) + (
+            (1 + s_p) * eye - jnp.where(mask, eye, jnp.zeros((), dtype))
+        )
+        L = jnp.linalg.cholesky(Gc)
+        y = jax.scipy.linalg.solve_triangular(L, x.T, lower=True).T
+        # rank-deficient blocks: chol emits NaN columns — keep the input
+        # there (the polar polish and the next solve re-separate them)
+        bad = ~jnp.isfinite(jnp.sum(y * y, axis=0))
+        x = jnp.where(bad[None, :], x, y)
     nrm = jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=0), tiny))
     return x / nrm[None, :]
 
@@ -362,26 +368,30 @@ def tgk_vectors(d, e, sig, iters=None, polish=None):
     # nearest orthonormal basis (quadratically for ||X^T X - I|| < 1, which
     # per-lane inverse iteration + the cluster coupling guarantee).  Dense
     # random spectra leave ~eps*smax/gap ~ 1e-3..1e-2 pairwise cross-talk in
-    # fp32 that no per-lane method can avoid; four GEMM pairs on the MXU
+    # fp32 that no per-lane method can avoid; a few GEMM pairs on the MXU
     # restore ~1e-6 orthogonality while perturbing each column only by its
     # existing cross-talk (so eigen-residuals are preserved to first order).
-    # Orthogonalizing in TGK x-space keeps the U/V coupling (see
-    # couple_clusters); the -sigma twin contamination this cannot see is
-    # bounded by residual/(2 sigma), negligible away from sigma ~ 0.
+    # The u- and v-parts are polished SEPARATELY: close-but-not-clustered
+    # lanes carry -sigma TGK twin contamination, whose u/v cross-talks
+    # CANCEL in x-space (v_i.v_j = -u_i.u_j) — an x-space polish reaches
+    # x-orthogonality while both parts stay ~eps*smax/gap off (measured
+    # 3.3e-5 stall at n=2048).  Per-part polish removes it directly; the
+    # mixing error it introduces couples only nearby-sigma lanes, so the
+    # factorization error is O(defect * gap) — below the fp32 floor.
     eye = jnp.eye(n, dtype=dtype)
-
-    def _polish_pass(k, x):
-        G = pdot(x.T, x)
-        return pdot(x, 1.5 * eye - 0.5 * G)
-
-    x = lax.fori_loop(0, int(polish), _polish_pass, x)
-
     u = x[1::2]
     v = x[0::2]
-    # exact TGK eigenvectors split norm equally (1/sqrt(2) each); after the
-    # polish the split can deviate at the residual level — renormalize parts
+    # exact TGK eigenvectors split norm equally (1/sqrt(2) each); renormalize
+    # the parts before polishing so NS starts near its fixed point
     u = u / jnp.maximum(jnp.linalg.norm(u, axis=0, keepdims=True), tiny)
     v = v / jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True), tiny)
+
+    def _polish_pass(k, M):
+        G = pdot(M.T, M)
+        return pdot(M, 1.5 * eye - 0.5 * G)
+
+    u = lax.fori_loop(0, int(polish), _polish_pass, u)
+    v = lax.fori_loop(0, int(polish), _polish_pass, v)
     return u, v  # (U_b, V_b)
 
 

@@ -95,6 +95,25 @@ def test_two_stage_svd_repeated_sigma(rng):
     assert np.abs(U @ np.diag(s) @ Vh - np.asarray(A)).max() < 1e-4 * svals[0]
 
 
+def test_two_stage_svd_wide_cluster(rng):
+    # A cluster far wider than any fixed MGS window (n/3 values within 1e-6):
+    # the cluster-blocked CholeskyQR coupling + separate u/v polar polish
+    # must deliver orthogonal factors (the width-8 positional MGS this
+    # replaced left an 8e-2 defect here).  Low-rank-plus-noise matrices make
+    # this spectrum shape common in practice.
+    n = 384
+    Q1, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    Q2, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    sv = rng.uniform(0.1, 2.5, n)
+    sv[: n // 3] = 3.0 + rng.normal(size=n // 3) * 1e-6
+    A = jnp.asarray(((Q1 * np.sort(sv)[::-1]) @ Q2.T).astype(np.float32))
+    U, s, Vh = svd(A, method="tpu2", band=32)
+    U, s, Vh = np.asarray(U), np.asarray(s), np.asarray(Vh)
+    assert np.abs(U.T @ U - np.eye(n)).max() < 2e-5
+    assert np.abs(Vh @ Vh.T - np.eye(n)).max() < 2e-5
+    assert np.abs(U @ np.diag(s) @ Vh - np.asarray(A)).max() < 1e-4 * sv.max()
+
+
 def test_two_stage_svd_large_dense_spectrum(rng):
     # Regression for two scale-only failures: (a) chase-record corruption on
     # TPU when the accumulating chase carried the full record arrays through
