@@ -187,6 +187,68 @@ def _cluster_orthogonalize(x, sig, ctol, passes=2):
     return x / nrm[None, :]
 
 
+def tgk_solve_xla(z, lam, rhs, pivmin, big):
+    """(TGK - diag-per-lane(lam)) x = rhs; tridiagonal LU with partial
+    pivoting, band-2 upper factor; lanes vectorized — XLA scan formulation.
+
+    ``z``: (N-1,) TGK off-diagonals, ``lam``: (n,) per-lane shifts,
+    ``rhs``: (N, n).  Both substitution passes are ``lax.scan``s emitting
+    factor/solution rows as scan outputs — scatter-updating (N, n) carries
+    per step is both slower and the shape that miscompiles on the TPU
+    backend (see two_stage.band_to_bidiagonal_accum).  The forward carry's
+    third slot (``dd``) of the generic band-2 elimination is identically
+    zero for a tridiagonal (only ``p2 = swap ? c_i : 0`` survives), but is
+    kept for clarity; the Pallas twin (ops/pallas/tridiag_solve.py) drops it.
+    """
+    n = lam.shape[0]
+    dtype = rhs.dtype
+    zero_row = jnp.zeros((n,), dtype)
+    c_xs = jnp.concatenate([z[1:], jnp.zeros((1,), dtype)])
+
+    def fwd(carry, x):
+        b, cc, dd, y = carry
+        ai, ci_s, yi = x
+        bi = -lam
+        ci = jnp.broadcast_to(ci_s, (n,)).astype(dtype)
+        swap = jnp.abs(ai) > jnp.abs(b)
+        p0 = jnp.where(swap, ai, b)
+        p1 = jnp.where(swap, bi, cc)
+        p2 = jnp.where(swap, ci, dd)
+        py = jnp.where(swap, yi, y)
+        q0 = jnp.where(swap, b, ai)
+        q1 = jnp.where(swap, cc, bi)
+        q2 = jnp.where(swap, dd, ci)
+        qy = jnp.where(swap, y, yi)
+        psign = jnp.where(p0 < 0, -jnp.ones((), dtype), jnp.ones((), dtype))
+        safe = jnp.where(jnp.abs(p0) < pivmin, psign * pivmin, p0)
+        mlt = q0 / safe
+        carry = (q1 - mlt * p1, q2 - mlt * p2, zero_row, qy - mlt * py)
+        return carry, (safe, p1, p2, py)
+
+    init = (-lam, jnp.broadcast_to(z[0], (n,)).astype(dtype), zero_row, rhs[0])
+    (b, _, _, y), (U0, U1, U2, R) = lax.scan(
+        fwd, init, (z, c_xs, rhs[1:]), unroll=4
+    )
+    bsign = jnp.where(b < 0, -jnp.ones((), dtype), jnp.ones((), dtype))
+    last = jnp.where(jnp.abs(b) < pivmin, bsign * pivmin, b)
+    U0 = jnp.concatenate([U0, last[None]], axis=0)
+    U1 = jnp.concatenate([U1, zero_row[None]], axis=0)
+    U2 = jnp.concatenate([U2, zero_row[None]], axis=0)
+    R = jnp.concatenate([R, y[None]], axis=0)
+
+    def bwd(carry, x):
+        s1, s2 = carry
+        u0, u1, u2, r = x
+        v = (r - u1 * s1 - u2 * s2) / u0
+        v = jnp.clip(v, -big, big)  # bound growth; see pivmin note in caller
+        return (v, s1), v
+
+    _, sol = lax.scan(
+        bwd, (zero_row, zero_row), (U0, U1, U2, R), reverse=True, unroll=4
+    )
+    return sol
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "polish"))
 def tgk_vectors(d, e, sig, iters=None, polish=None):
     """Singular vectors of the bidiagonal {d, e} for the values ``sig`` via
@@ -231,58 +293,20 @@ def tgk_vectors(d, e, sig, iters=None, polish=None):
     lam = sig
 
     def solve(rhs):
-        """(TGK - diag-per-lane(lam)) x = rhs; tridiagonal LU with partial
-        pivoting, band-2 upper factor; lanes vectorized.
+        """(TGK - diag-per-lane(lam)) x = rhs; lanes vectorized.
 
-        Both substitution passes are ``lax.scan``s emitting factor/solution
-        rows as scan outputs — scatter-updating (N, n) carries per step is
-        both slower and the shape that miscompiles on the TPU backend (see
-        two_stage.band_to_bidiagonal_accum)."""
-        zero_row = jnp.zeros((n,), dtype)
-        c_xs = jnp.concatenate([z[1:], jnp.zeros((1,), dtype)])
+        Routed to the single-launch Pallas kernel on TPU fp32 (per-row cost
+        is XLA scan-iteration overhead otherwise); XLA scan path elsewhere.
+        ``lam`` is read at call time (after the multiplet perturbation)."""
+        from svdsolver_tpu.models.svd import use_pallas
 
-        def fwd(carry, x):
-            b, cc, dd, y = carry
-            ai, ci_s, yi = x
-            bi = -lam
-            ci = jnp.broadcast_to(ci_s, (n,)).astype(dtype)
-            swap = jnp.abs(ai) > jnp.abs(b)
-            p0 = jnp.where(swap, ai, b)
-            p1 = jnp.where(swap, bi, cc)
-            p2 = jnp.where(swap, ci, dd)
-            py = jnp.where(swap, yi, y)
-            q0 = jnp.where(swap, b, ai)
-            q1 = jnp.where(swap, cc, bi)
-            q2 = jnp.where(swap, dd, ci)
-            qy = jnp.where(swap, y, yi)
-            psign = jnp.where(p0 < 0, -jnp.ones((), dtype), jnp.ones((), dtype))
-            safe = jnp.where(jnp.abs(p0) < pivmin, psign * pivmin, p0)
-            mlt = q0 / safe
-            carry = (q1 - mlt * p1, q2 - mlt * p2, zero_row, qy - mlt * py)
-            return carry, (safe, p1, p2, py)
+        if use_pallas(dtype) and n % 128 == 0 and n >= 512:
+            from svdsolver_tpu.ops.pallas.tridiag_solve import (
+                tgk_solve_pallas,
+            )
 
-        init = (-lam, jnp.broadcast_to(z[0], (n,)).astype(dtype), zero_row, rhs[0])
-        (b, _, _, y), (U0, U1, U2, R) = lax.scan(
-            fwd, init, (z, c_xs, rhs[1:]), unroll=4
-        )
-        bsign = jnp.where(b < 0, -jnp.ones((), dtype), jnp.ones((), dtype))
-        last = jnp.where(jnp.abs(b) < pivmin, bsign * pivmin, b)
-        U0 = jnp.concatenate([U0, last[None]], axis=0)
-        U1 = jnp.concatenate([U1, zero_row[None]], axis=0)
-        U2 = jnp.concatenate([U2, zero_row[None]], axis=0)
-        R = jnp.concatenate([R, y[None]], axis=0)
-
-        def bwd(carry, x):
-            s1, s2 = carry
-            u0, u1, u2, r = x
-            v = (r - u1 * s1 - u2 * s2) / u0
-            v = jnp.clip(v, -big, big)  # bound growth; see pivmin note above
-            return (v, s1), v
-
-        _, sol = lax.scan(
-            bwd, (zero_row, zero_row), (U0, U1, U2, R), reverse=True, unroll=4
-        )
-        return sol
+            return tgk_solve_pallas(z, lam, rhs, pivmin, big)
+        return tgk_solve_xla(z, lam, rhs, pivmin, big)
 
     x = jax.random.normal(jax.random.PRNGKey(0), (N, n), dtype)
 

@@ -309,3 +309,35 @@ def test_pallas_chase_wave_bitwise_vs_vmem(rng, n, b):
     want = np.linalg.svd(np.asarray(A).astype(np.float64), compute_uv=False)
     got = np.linalg.svd(B.astype(np.float64), compute_uv=False)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5 * want[0])
+
+
+@pytest.mark.parametrize("n", [512, 1280])
+def test_pallas_tgk_solve_matches_xla(rng, n):
+    # single-launch shifted tridiagonal solve (inverse-iteration inner loop):
+    # identical pivoting decisions and arithmetic order as the XLA scan, so
+    # the normalized solutions must agree to fp32 roundoff even though the
+    # raw solutions are near-singular amplifications.  1280 exercises lane
+    # padding (1280 % 1024 != 0) and row padding (2560 % 128 == 0 but the
+    # spurious-row patch block), 512 the aligned path.
+    from svdsolver_tpu.models.vectors import tgk_solve_xla
+    from svdsolver_tpu.ops.pallas.tridiag_solve import tgk_solve_pallas
+
+    N = 2 * n
+    d = rng.normal(size=(n,)).astype(np.float32) * 5
+    e = rng.normal(size=(n - 1,)).astype(np.float32) * 5
+    z = np.zeros((N - 1,), np.float32)
+    z[0::2] = d
+    z[1::2] = e
+    B = np.diag(d) + np.diag(e, 1)
+    sig = np.linalg.svd(B, compute_uv=False).astype(np.float32)
+    eps = np.finfo(np.float32).eps
+    smax = float(np.abs(sig).max())
+    pivmin = jnp.float32(max(smax * eps * eps, np.finfo(np.float32).tiny))
+    big = jnp.float32(float(np.finfo(np.float32).max) ** 0.5 / 16.0)
+    rhs = jnp.asarray(rng.normal(size=(N, n)).astype(np.float32))
+    zj, lam = jnp.asarray(z), jnp.asarray(sig)
+    xs = np.asarray(tgk_solve_xla(zj, lam, rhs, pivmin, big))
+    xp = np.asarray(tgk_solve_pallas(zj, lam, rhs, pivmin, big))
+    xs = xs / np.linalg.norm(xs, axis=0)
+    xp = xp / np.linalg.norm(xp, axis=0)
+    assert np.abs(xs - xp).max() < 64 * eps
