@@ -145,6 +145,10 @@ def main():
         "value": round(t, 4),
         "unit": "seconds",
         "vs_baseline": round(BASELINE_S / t, 2),
+        # MFU vs the fp32-effective MXU peak (v5e: 197 bf16 TFLOP/s, and
+        # Precision.HIGHEST spends 6 bf16 passes per fp32 contraction)
+        "stage1_tflops": round(gflops / 1e3, 2),
+        "stage1_mfu_fp32eff": round(gflops / 1e3 / (197.0 / 6), 4),
     }
     if ns_s is not None:
         line["northstar_svdvals_N3840_fp32_s"] = round(ns_s, 4)

@@ -16,14 +16,14 @@ Two pieces:
 
 Clustered or exactly-multiple singular values: inverse iteration alone would
 return nearly-parallel columns there, so :func:`tgk_vectors` re-orthogonalizes
-within detected tight clusters in TGK space (which preserves the U/V
-coupling), and finishes with a Newton-Schulz polar polish — a few MXU GEMMs
-that restore machine-level orthogonality across *dense* spectra (a random
-n=2048 matrix has ~1e2..1e3 eps-relative gaps throughout its bulk, where
-per-lane inverse iteration leaves ~1e-3 cross-talk; LAPACK's dstein handles
-this with O(n^2)-depth sequential MGS groups, a shape TPUs hate).
-Remaining limitation: tight clusters wider than 8 are only orthogonalized
-against their nearest 7 neighbors before the polar polish.
+within detected tight clusters in TGK space after every iteration — a
+cluster-blocked shifted CholeskyQR (width-unlimited, all MXU/blocked ops;
+with the iteration this is inverse *subspace* iteration per cluster) —
+and finishes with a per-part Newton-Schulz polar polish that removes the
+~eps*smax/gap cross-talk of the dense bulk AND the -sigma twin
+contamination of close-but-unclustered lanes (whose u/v defects cancel in
+TGK x-space; see the polish comment).  LAPACK's dstein handles clusters
+with O(n^2)-depth sequential MGS groups, a shape TPUs hate.
 
 :func:`svd_two_stage` runs the flagship two-stage pipeline with full
 back-transformation of the Stage-I compact-WY factors and the recorded
@@ -258,7 +258,7 @@ def tgk_vectors(d, e, sig, iters=None, polish=None):
 
     ``iters`` (inverse-iteration steps) and ``polish`` (Newton-Schulz polar
     passes) default per dtype: fp32 converges to its roundoff floor with
-    (2, 3) — measured identical orthogonality to (3, 4) at n=2048, 24%
+    (2, 2) — measured identical orthogonality to (3, 4) at n=2048,
     faster — while f64's ~1e-15 floor needs the extra pass of each.
 
     Columns whose singular values are clustered (|sig_i - sig_j| <=
@@ -274,7 +274,10 @@ def tgk_vectors(d, e, sig, iters=None, polish=None):
     if iters is None:
         iters = 2 if dtype == jnp.float32 else 3
     if polish is None:
-        polish = 3 if dtype == jnp.float32 else 4
+        # Newton-Schulz is quadratic: from the ~1e-3 per-lane cross-talk
+        # floor, two passes reach the fp32 roundoff floor (measured
+        # identical orthogonality to three at n=2048, gauss + clustered)
+        polish = 2 if dtype == jnp.float32 else 4
     z = jnp.zeros((N - 1,), dtype).at[0::2].set(d).at[1::2].set(e)
     smax = jnp.max(jnp.abs(sig))
     # LAPACK-dstein-style pivot floor: partial pivoting bounds the forward
