@@ -12,8 +12,13 @@ lane-aligned; each block stores only its diagonal neighborhood:
 
     P[row, l] = A[row, 128*(row//128) - 128 + l],   l in [0, D)
 
-with D = 640 covering the live band+bulge extent [row-(b-1), row+2b+2] for
-b <= 128.  Packing and unpacking are therefore plain 2-D DMA copies per
+with D = 512 covering every lane the chase can read or write for b <= 128:
+the initial band occupies lanes <= 128 + 127 + b <= 383, and both
+eliminations only modify lanes < 511 (right: x + b - 1 <= 383 + 127; left:
+xl + 2b - 1 <= 255 + 255 — see their docstrings), so lanes past 511 stay
+zero for the whole chase.  (Round 2 ran with D = 640; shrinking to the
+proven 512 cut the resident footprint 20% and extended the wavefront
+kernel's residency range by the same factor.)  Packing and unpacking are therefore plain 2-D DMA copies per
 block — no data reshuffling at all.  The price: a chase window's rows span
 up to three 128-row blocks, and the SAME matrix column sits 128 lanes lower
 in each successive block ("zones").  Eliminations handle zones with masked
@@ -54,7 +59,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-D = 640  # packed width: covers live lanes [1, 512) for b <= 128
+D = 512  # packed width: covers live lanes [1, 512) for b <= 128
 WR = 512  # right-elimination working lane width
 
 

@@ -283,13 +283,17 @@ def test_pallas_dense_to_band_uv(rng):
     assert np.abs(np.triu(Ab, b + 1)).max() < 1e-4 * nrm
 
 
-@pytest.mark.parametrize("n,b", [(384, 64), (640, 128), (192, 32), (520, 40)])
+@pytest.mark.parametrize(
+    "n,b", [(384, 64), (640, 128), (192, 32), (520, 40), (5504, 128)]
+)
 def test_pallas_chase_wave_bitwise_vs_vmem(rng, n, b):
     # wavefront-batched chase: the pipelined-sweep schedule (3-tick spacing,
     # disjoint lanes) with larfg construction batched across lanes.  Lanes
     # operate on disjoint slabs and the reductions are per-lane, so d/e must
     # be BITWISE identical to the sequential VMEM kernel.  (520, 40) covers
-    # non-128-aligned n and a non-power-of-two band; 640/128 runs 2 lanes.
+    # non-128-aligned n and a non-power-of-two band; 640/128 runs 2 lanes;
+    # (5504, 128) lands in the residency range only reachable at the packed
+    # width D=512 (it would overflow VMEM at the round-2 width 640).
     from svdsolver_tpu.ops.pallas.band_chase_wave import (
         band_to_bidiagonal_pallas_wave,
         wave_chase_supported,
@@ -305,6 +309,8 @@ def test_pallas_chase_wave_bitwise_vs_vmem(rng, n, b):
     d2, e2 = band_to_bidiagonal_pallas_wave(Ab, band=b)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    if n > 1024:
+        return  # bitwise agreement is the point; skip the slow host SVD
     B = np.diag(np.asarray(d2)) + np.diag(np.asarray(e2), 1)
     want = np.linalg.svd(np.asarray(A).astype(np.float64), compute_uv=False)
     got = np.linalg.svd(B.astype(np.float64), compute_uv=False)
