@@ -10,32 +10,49 @@ cliff").  This kernel is the escape for every past-the-cliff size:
   lanes the eliminations can ever touch (modified lanes are provably < 511;
   see band_chase_vmem._left_elim).  Packed rows are 2 KB and contiguous:
   every window DMA runs far below the stride cliff.
-* **Phase A** (sweeps [0, R0)): each sweep walks its bulge down the band
-  through a sliding window of W rows held in one of two VMEM slots.  A
-  window holds ``h`` chase hops; while window j computes, the fresh tail of
-  window j+1 streams in and window j-1's finalized rows stream out — two
-  DMA issues per h hops instead of per pair.  The next sweep's first window
-  is PREFETCHED during this sweep's last window (valid when the sweep has
-  >= 3 windows: the rows it reads were retired >= 2 windows ago), removing
-  the per-sweep synchronous prologue load.
+* **Phase A** (sweeps [0, R0), b >= 32): sweeps stream in GROUPS of LG = 4.
+  One windowed pass walks all four bulges down the band together on the
+  wavefront schedule (hop k of sweep i at tick 3i + k, lanes 3 hops /
+  3b - 1 rows apart): each resident window runs ``hg`` ticks of
+  band_chase_wave._wave_tick with the group's sweeps pinned to the lanes,
+  so the larfg latency chains batch LG-wide AND one streaming pass serves
+  LG sweeps (DMA bytes / LG).  Window j covers packed rows
+  [base + j*hg*b, + W) and ticks [3*LG + j*hg, + hg) (window 0 also runs
+  the ramp): the deepest in-window touch is io + (3*LG + hg)*b + 9 <= W by
+  the _group_hops_per_window gate, and at a window switch the shallowest
+  future touch (the last lane's pivot) is 2b rows past the retired region.
+  While window j computes, window j+1's fresh tail streams in and window
+  j-1's finalized rows stream out; the next group's first window is
+  prefetched during the current group's last window (valid when the group
+  has >= 1 + ceil((W+128)/(hg*b)) windows: the prefetched rows were
+  retired by out-DMAs already waited on).  For b < 32 (wave tick's
+  head/lane disjointness gate) phase A falls back to per-sweep streaming
+  with the same window mechanics.
 * **Phase B** (sweeps [R0, n-1)): the 128-aligned tail slice P[R0:R0+2W) IS
   the packed form of the trailing submatrix, and the trailing subproblem of
   <= 2W - 2b - 8 rows fits the (2W, 512) window buffer whole — so all short
-  trailing sweeps run VMEM-resident with zero DMA (one load, one store).
-  For n <= ~4100 the whole chase is phase B.
+  trailing sweeps run VMEM-resident with zero DMA (one load, one store),
+  and (for b >= 32) they run the WAVEFRONT tick schedule
+  (band_chase_wave._wave_tick) on the resident slice: the per-pair larfg
+  latency chains are batched across the pipelined-sweep lanes, exactly the
+  wave kernel's batching, in window-local coordinates.  For n <= ~6400 the
+  whole chase is phase B (but the wave kernel owns that routing range —
+  this kernel's job is n past the wave kernel's VMEM residency).
 * Window bases are 128-ALIGNED (i128 + j*h*b with h*b % 128 == 0), so the
   zone/lane arithmetic of the shared elimination kernels is valid in
   window-local coordinates (it depends on row indices only mod 128).
 
-Same schedule and elimination arithmetic as band_chase_vmem (shared code),
-hence bitwise-identical d/e to the VMEM kernel (tested, incl. across the
-phase split); same output class as the reference brd_p2 (svd_parallel.h:639).
+Same schedule and elimination arithmetic as band_chase_vmem /
+band_chase_wave (shared code), hence bitwise-identical d/e to the VMEM
+kernel (tested, incl. across the phase split); same output class as the
+reference brd_p2 (svd_parallel.h:639).
 
-Measured (3-rep loop, b=128, same-session A/B vs the single-phase streamed
-variant): n=5248 489 -> 178 ms, n=7680 730 -> 372 ms; vs the (Npad, 640)
-VMEM-resident kernel in its own range: n=3840 352 -> 87 ms, n=4992
-372 -> 153 ms.  Beware the compile service's binary variance (PERF_NOTES);
-all comparisons above are in-session.
+Measured (3-rep loops, b=128, same-session A/B): the round-2 kernel
+(per-sweep phase A at W=2176, sequential tail) ran n=7680 in 372 ms; the
+session-5 rework took it to 288 ms (W 3328 + wavefront tail) and 246 ms
+(grouped phase A); n=15360 ran 1341 ms with the wavefront tail alone and
+966 ms grouped.  Beware the compile service's binary variance
+(PERF_NOTES); all comparisons above are in-session.
 """
 
 import functools
@@ -51,9 +68,10 @@ from svdsolver_tpu.ops.pallas.band_chase_vmem import (
     _right_elim,
     _HBM_FAST_LANES,
 )
+from svdsolver_tpu.ops.pallas.band_chase_wave import _n_lanes, _wave_tick
 
 DS = 512  # packed/streamed width: all live+bulge lanes are provably < 511
-W = 2176  # window rows (17 * 128): must be >= (h + 1) * b + 136
+W = 3328  # window rows (26 * 128): must be >= (h + 1) * b + 136
 
 
 def _hops_per_window(b):
@@ -72,18 +90,37 @@ def _tail_rows_cap(b):
     return 2 * W - 2 * b - 8
 
 
+LG = 4  # phase-A group width: wavefront lanes per streamed pass (b >= 32)
+
+
+def _group_hops_per_window(b, lg):
+    """Largest h with (3*lg + h)*b + 136 <= W (the window must cover the
+    io <= 127 base offset, the lg-lane wavefront span at 3-hop spacing,
+    h ticks of advance, and the 2b+8 elimination span) and h*b % 128 == 0
+    (keeps window bases 128-aligned)."""
+    for h in range((W - 136) // b - 3 * lg, 0, -1):
+        if (h * b) % 128 == 0:
+            return h
+    return None
+
+
 def _stream_chase_kernel(
     n,
     b,
     h,
     Npad,
     R0,
+    Ltail,
+    Lg,
+    hg,
     A_in,
     d_out,
     e_out,
     P,
     BUF,
     stage,
+    PR,
+    XC,
     sem_pack,
     sem_in,
     sem_out,
@@ -233,7 +270,116 @@ def _stream_chase_kernel(
         out_full(S - 1).wait()
         return ((p + S) % 2, can_pref.astype(jnp.int32))
 
-    if R0 > 0:
+    # ---- phase A (grouped): Lg-sweep wavefront groups over [0, R0) ------
+    # Group g streams sweeps [g*Lg, min((g+1)*Lg, R0)) down the band in ONE
+    # windowed pass, running the wavefront tick schedule (lanes 3 hops
+    # apart) inside each resident window: the larfg latency chains batch
+    # Lg-wide AND the per-group DMA replaces Lg per-sweep passes.  Window j
+    # covers packed rows [base + j*hg*b, + W) and handles ticks
+    # [tstart + j*hg, tstart + (j+1)*hg) (window 0 also runs the ramp
+    # [0, tstart)); with tstart = 3*Lg the group's shallowest future touch
+    # at a window switch is lane Lg-1's pivot, 2b rows PAST the retired
+    # region, and the deepest in-window touch is io + (3*Lg + hg)*b + 9
+    # <= W (the _group_hops_per_window gate) — same disjointness, hence
+    # the same bitwise-equality-to-sequential argument, as the wave
+    # kernel's schedule, group-by-group.
+    def group(g, carry):
+        p, pref = carry
+        tstart = 3 * Lg
+        hgb = hg * b
+        i0 = g * Lg
+        i_hi = jnp.minimum(i0 + Lg, jnp.int32(R0)) - 1
+        base = (i0 // 128) * 128
+        t_max = 3 * (i_hi - i0) + n_chase_of(i_hi)
+        S = 1 + jnp.maximum(
+            jnp.int32(0), -(-(t_max + 1 - tstart - hg) // hg)
+        )
+        # prefetch data-finality: next group's window-0 rows [base', +W)
+        # (base' <= base + 128) must be covered by COMPLETED out_parts
+        # [base, base + (S-1)*hgb) at the window S-1 entry wait
+        s_min = 1 + -(-(W + 128) // hgb)
+
+        def in_tail(j):
+            off_n = ((p + j + 1) % 2) * W
+            return pltpu.make_async_copy(
+                P.at[pl.ds(base + j * hgb + W, hgb)],
+                BUF.at[pl.ds(off_n + (W - hgb), hgb)],
+                sem_in,
+            )
+
+        def out_part(j):
+            off_c = ((p + j) % 2) * W
+            return pltpu.make_async_copy(
+                BUF.at[pl.ds(off_c, hgb)],
+                P.at[pl.ds(base + j * hgb, hgb)],
+                sem_out,
+            )
+
+        def out_full(j):
+            off_c = ((p + j) % 2) * W
+            return pltpu.make_async_copy(
+                BUF.at[pl.ds(off_c, W)],
+                P.at[pl.ds(base + j * hgb, W)],
+                sem_out,
+            )
+
+        @pl.when(pref == 0)
+        def _sync_load():
+            cp = prologue(i0, p)
+            cp.start()
+            cp.wait()
+
+        pl.when(pref == 1)(lambda: prologue(i0, p).wait())
+
+        can_pref = jnp.logical_and(S >= s_min, i0 + Lg < R0)
+
+        def win(j, carry2):
+            off_c = ((p + j) % 2) * W
+            off_n = ((p + j + 1) % 2) * W
+            pl.when(j >= 1)(lambda: out_part(j - 1).wait())
+            pl.when(j >= 1)(lambda: in_tail(j - 1).wait())
+            pl.when(j + 1 < S)(lambda: in_tail(j).start())
+            pl.when(jnp.logical_and(j + 1 == S, can_pref))(
+                lambda: prologue(i0 + Lg, p + S).start()
+            )
+
+            # window-local coords: subtract (base + j*hgb - off_c), a
+            # 128-multiple, so the elimination zone arithmetic holds
+            row_off = base + j * hgb - off_c
+            t_lo = jnp.where(j == 0, jnp.int32(0), tstart + j * hg)
+            t_hi = jnp.minimum(tstart + (j + 1) * hg, t_max + 1)
+
+            def tick(t, c3):
+                _wave_tick(
+                    BUF, n, b, Lg, PR, XC, 3 * i0 + t,
+                    i_lo=i0, i_hi=i_hi, row_off=row_off,
+                )
+                return c3
+
+            lax.fori_loop(t_lo, t_hi, tick, 0)
+
+            @pl.when(j + 1 < S)
+            def _mid():
+                BUF[pl.ds(off_n, W - hgb), :] = BUF[
+                    pl.ds(off_c + hgb, W - hgb), :
+                ]
+                out_part(j).start()
+
+            pl.when(j + 1 >= S)(lambda: out_full(j).start())
+            return carry2
+
+        lax.fori_loop(jnp.int32(0), S, win, 0)
+        out_full(S - 1).wait()
+        return ((p + S) % 2, can_pref.astype(jnp.int32))
+
+    if R0 > 0 and Lg > 0:
+        lax.fori_loop(
+            jnp.int32(0),
+            jnp.int32(-(-R0 // Lg)),
+            group,
+            (jnp.int32(0), jnp.int32(0)),
+        )
+    elif R0 > 0:
         lax.fori_loop(
             jnp.int32(0), jnp.int32(R0), sweep, (jnp.int32(0), jnp.int32(0))
         )
@@ -250,26 +396,41 @@ def _stream_chase_kernel(
     cp.start()
     cp.wait()
 
-    def sweep_tail(i, carry):
-        _right_elim(BUF, b, i, 1, b + 8, w)
-        _left_elim(BUF, b, i + 1)
-        n_chase = (
-            jnp.maximum(
-                jnp.int32(0),
-                -(-(jnp.int32(n_local) - (i + 2 * w - 1)) // b),
-            )
-            + 1
+    if Ltail > 0 and n_local >= 2:
+        # wavefront-batched tail: the resident slice IS a 128-aligned
+        # packed window, so the wave tick runs on BUF in local coords
+        # unchanged (bitwise-equal to the sequential sweeps — the wave
+        # schedule's disjoint-slab linearization argument).
+        def tick_tail(T, carry):
+            _wave_tick(BUF, n_local, b, Ltail, PR, XC, T)
+            return carry
+
+        lax.fori_loop(
+            jnp.int32(0), jnp.int32(3 * (n_local - 2) + 2), tick_tail, 0
         )
+    else:
+        # b < 32: head/lane slab disjointness fails — sequential sweeps
 
-        def chase(k, c2):
-            r = i + 1 + k * b
-            _right_elim(BUF, b, r, b, 2 * b, 2 * b)
-            _left_elim(BUF, b, r + b)
-            return c2
+        def sweep_tail(i, carry):
+            _right_elim(BUF, b, i, 1, b + 8, w)
+            _left_elim(BUF, b, i + 1)
+            n_chase = (
+                jnp.maximum(
+                    jnp.int32(0),
+                    -(-(jnp.int32(n_local) - (i + 2 * w - 1)) // b),
+                )
+                + 1
+            )
 
-        return lax.fori_loop(jnp.int32(0), n_chase, chase, carry)
+            def chase(k, c2):
+                r = i + 1 + k * b
+                _right_elim(BUF, b, r, b, 2 * b, 2 * b)
+                _left_elim(BUF, b, r + b)
+                return c2
 
-    lax.fori_loop(jnp.int32(0), jnp.int32(n_local - 1), sweep_tail, 0)
+            return lax.fori_loop(jnp.int32(0), n_chase, chase, carry)
+
+        lax.fori_loop(jnp.int32(0), jnp.int32(n_local - 1), sweep_tail, 0)
     cp = pltpu.make_async_copy(
         BUF.at[pl.ds(0, Trows)], P.at[pl.ds(R0, Trows)], sem_out
     )
@@ -345,10 +506,22 @@ def _band_to_bidiagonal_pallas_stream(A, band=128):
     # VMEM-resident in BUF; everything before streams through windows
     tcap = _tail_rows_cap(b)
     R0 = -(-(n - tcap) // 128) * 128 if n > tcap else 0
+    n_local = n - R0
+    # wavefront tail lanes (0 selects the sequential fallback, b < 32 —
+    # the wave tick's head/lane slab disjointness needs b >= 32)
+    Ltail = _n_lanes(n_local, b) if (b >= 32 and n_local >= 2) else 0
+    Lp = max(8, -(-Ltail // 8) * 8)
+    # grouped phase A (0 selects the per-sweep fallback)
+    Lg = LG if b >= 32 else 0
+    hg = _group_hops_per_window(b, Lg) if Lg else 0
+    if not hg:
+        Lg = hg = 0
     if n128 != n:  # align for the pack DMAs
         A = jnp.pad(A, ((0, n128 - n), (0, n128 - n)))
     d2, e2, _ = pl.pallas_call(
-        functools.partial(_stream_chase_kernel, n, b, h, Npad, R0),
+        functools.partial(
+            _stream_chase_kernel, n, b, h, Npad, R0, Ltail, Lg, hg
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((nb, 128), dtype),
             jax.ShapeDtypeStruct((nb, 128), dtype),
@@ -363,6 +536,8 @@ def _band_to_bidiagonal_pallas_stream(A, band=128):
         scratch_shapes=[
             pltpu.VMEM((2 * W, DS), dtype),
             pltpu.VMEM((128, DS), dtype),
+            pltpu.VMEM((Lp, DS), dtype),
+            pltpu.VMEM((b + 8, 128), dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),

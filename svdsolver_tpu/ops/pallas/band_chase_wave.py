@@ -149,16 +149,135 @@ def _left_apply(P, b, r1, v, tau):
     P[pl.ds(r8, b + 8), :WR] = rows - (tau * v) * Wm
 
 
+def _wave_tick(P, n, b, L, PR, XC, T, i_lo=None, i_hi=None, row_off=None):
+    """One wavefront tick over packed rows ``P``: sweep T//3's head pair
+    plus hop lanes l = 0..L-1 (sweep i_base - l at hop T - 3*(i_base - l)),
+    with the right/left larfg construction batched across lanes.
+
+    ``P`` may be the full packed array or any row window whose row 0 sits
+    at a 128-aligned packed row with ``n`` the window-local problem size
+    (the elimination coordinate contract of band_chase_vmem._right_elim).
+    ``PR`` ((Lp, WR)) batches right pivot rows; ``XC`` ((b+8, 128)) batches
+    left pivot columns (lane l in lane-dim position l).
+
+    ``i_lo``/``i_hi`` (optional, traced) clamp the active sweeps to
+    [i_lo, i_hi] — the grouped streamed chase runs only its own group's
+    sweeps even though the global tick index would map earlier/later
+    sweeps onto the lanes.  ``row_off`` (optional, traced, must be
+    128-aligned) is subtracted from every pivot row before indexing ``P``
+    (window-local coordinates); the x/zone lane arithmetic is unaffected
+    because it only depends on rows mod 128.
+    """
+    w = b + 1
+    dtype = P.dtype
+    zero = jnp.zeros((), dtype)
+    Lp = PR.shape[0]
+    lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
+    qi8 = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    li = lax.broadcasted_iota(jnp.int32, (Lp, 1), 0)
+    off = 0 if row_off is None else row_off
+
+    # ---- head (sweep T//3's k=0 pair; geometry differs, <=1/tick) -------
+    head_ok = jnp.logical_and(T % 3 == 0, T // 3 <= n - 2)
+    if i_hi is not None:
+        head_ok = jnp.logical_and(head_ok, T // 3 <= i_hi)
+
+    @pl.when(head_ok)
+    def _head():
+        i = T // 3
+        _right_elim(P, b, i - off, 1, b + 8, w)
+        _left_elim(P, b, i + 1 - off)
+
+    # ---- hop lanes: r affine in l (spacing 3b - 1) ----------------------
+    # Lane -> sweep mapping: in the FULL schedule every sweep is live, so
+    # lane l tracks the moving frontier (i_base - l) and the active lanes
+    # are always 0..L-1.  In GROUP mode (i_hi given) the sweeps are a fixed
+    # window [i_lo, i_hi] while T keeps growing, so the frontier mapping
+    # would slide the group's sweeps past lane L-1 mid-pass; pin lane l to
+    # sweep i_hi - l instead (same schedule — hop k of sweep i still runs
+    # at tick 3i + k — only the lane labels differ), and check k_l >= 1
+    # explicitly (automatic in frontier mode, not in pinned mode).
+    i_base = (T + 2) // 3 - 1  # floor((T-1)/3), T >= 0
+    lane_anchor = i_base if i_hi is None else i_hi
+    iv = lane_anchor - li  # (Lp, 1) sweep index per lane
+    kv = T - 3 * iv
+    rv = iv + 1 + (kv - 1) * b
+
+    def lane(l):
+        i_l = lane_anchor - l
+        k_l = T - 3 * i_l
+        r_l = i_l + 1 + (k_l - 1) * b - off
+        act = jnp.logical_and(
+            jnp.logical_and(i_l >= 0, i_l <= n - 2),
+            k_l <= _nc_of(i_l, n, b),
+        )
+        if i_hi is not None:
+            act = jnp.logical_and(act, k_l >= 1)
+        if i_lo is not None:
+            act = jnp.logical_and(act, i_l >= i_lo)
+        return r_l, act
+
+    # right pivot-row gathers (masked 8-row reduce, per active lane)
+    for l in range(L):
+        r_l, act = lane(l)
+
+        @pl.when(act)
+        def _gather(r_l=r_l, l=l):
+            r8 = (r_l // 8) * 8
+            ro = r_l - r8
+            rows8 = P[pl.ds(r8, 8), :WR]
+            PR[l : l + 1, :] = jnp.sum(
+                jnp.where(qi8 == ro, rows8, zero), axis=0, keepdims=True
+            )
+
+    # ONE batched larfg for all right reflectors of this tick
+    xv = b + lax.rem(rv, jnp.int32(128)) + 128  # (Lp, 1)
+    Vr, taur = _make_v(PR[...], xv, b, lane_r)
+
+    # right applies, per lane in place
+    for l in range(L):
+        r_l, act = lane(l)
+        pl.when(act)(
+            lambda r_l=r_l, l=l: _right_apply(
+                P, b, r_l, Vr[l : l + 1, :], taur[l : l + 1, :], 2 * b,
+                2 * b,
+            )
+        )
+
+    # left pivot-column extracts into the lane buffer
+    for l in range(L):
+        r_l, act = lane(l)
+
+        @pl.when(act)
+        def _extract(r_l=r_l, l=l):
+            XC[:, l : l + 1] = _left_xcol(P, b, r_l + b)
+
+    # ONE batched column larfg for all left reflectors.  Pivot sublane
+    # per LANE-dim index c (same affine map as the sublane-dim rv).
+    lc = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    ivc = lane_anchor - lc
+    r1c = ivc + 1 + (T - 3 * ivc - 1) * b + b
+    ro1c = r1c - (r1c // 8) * 8
+    Vl, taul = _left_make_v_batched(XC[...], ro1c, b)
+
+    # left applies, per lane in place
+    for l in range(L):
+        r_l, act = lane(l)
+        pl.when(act)(
+            lambda r_l=r_l, l=l: _left_apply(
+                P, b, r_l + b, Vl[:, l : l + 1], taul[:, l : l + 1]
+            )
+        )
+
+
 def _wave_chase_kernel(n, b, Npad, L, A_in, d_out, e_out, P, PR, XC, sem):
     """Wavefront-batched chase over VMEM-resident ``P`` (Npad, D).
 
     ``PR`` ((LANE_PAD*ceil(L/8)?, WR) -> (Lp, WR)) batches right pivot rows;
     ``XC`` ((b+8, 128)) batches left pivot columns (lane l in lane dim l).
     """
-    w = b + 1
     dtype = P.dtype
     zero = jnp.zeros((), dtype)
-    Lp = PR.shape[0]
     n128 = -(-n // 128) * 128
 
     # ---- pack (identical to band_chase_vmem) ----------------------------
@@ -181,86 +300,8 @@ def _wave_chase_kernel(n, b, Npad, L, A_in, d_out, e_out, P, PR, XC, sem):
         cp.start()
         cp.wait()
 
-    lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
-    qi8 = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    li = lax.broadcasted_iota(jnp.int32, (Lp, 1), 0)
-
     def tick(T, carry):
-        # ---- head (sweep T//3's k=0 pair; geometry differs, <=1/tick) ---
-        @pl.when(jnp.logical_and(T % 3 == 0, T // 3 <= n - 2))
-        def _head():
-            i = T // 3
-            _right_elim(P, b, i, 1, b + 8, w)
-            _left_elim(P, b, i + 1)
-
-        # ---- hop lanes: r affine in l (spacing 3b - 1) ------------------
-        i_base = (T + 2) // 3 - 1  # floor((T-1)/3), T >= 0
-        iv = i_base - li  # (Lp, 1) sweep index per lane
-        kv = T - 3 * iv
-        rv = iv + 1 + (kv - 1) * b
-
-        def lane(l):
-            i_l = i_base - l
-            k_l = T - 3 * i_l
-            r_l = i_l + 1 + (k_l - 1) * b
-            act = jnp.logical_and(
-                jnp.logical_and(i_l >= 0, i_l <= n - 2),
-                k_l <= _nc_of(i_l, n, b),
-            )
-            return r_l, act
-
-        # right pivot-row gathers (masked 8-row reduce, per active lane)
-        for l in range(L):
-            r_l, act = lane(l)
-
-            @pl.when(act)
-            def _gather(r_l=r_l, l=l):
-                r8 = (r_l // 8) * 8
-                ro = r_l - r8
-                rows8 = P[pl.ds(r8, 8), :WR]
-                PR[l : l + 1, :] = jnp.sum(
-                    jnp.where(qi8 == ro, rows8, zero), axis=0, keepdims=True
-                )
-
-        # ONE batched larfg for all right reflectors of this tick
-        xv = b + lax.rem(rv, jnp.int32(128)) + 128  # (Lp, 1)
-        Vr, taur = _make_v(PR[...], xv, b, lane_r)
-
-        # right applies, per lane in place
-        for l in range(L):
-            r_l, act = lane(l)
-            pl.when(act)(
-                lambda r_l=r_l, l=l: _right_apply(
-                    P, b, r_l, Vr[l : l + 1, :], taur[l : l + 1, :], 2 * b,
-                    2 * b,
-                )
-            )
-
-        # left pivot-column extracts into the lane buffer
-        for l in range(L):
-            r_l, act = lane(l)
-
-            @pl.when(act)
-            def _extract(r_l=r_l, l=l):
-                XC[:, l : l + 1] = _left_xcol(P, b, r_l + b)
-
-        # ONE batched column larfg for all left reflectors.  Pivot sublane
-        # per LANE-dim index c (same affine map as the sublane-dim rv).
-        lc = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        ivc = i_base - lc
-        r1c = ivc + 1 + (T - 3 * ivc - 1) * b + b
-        ro1c = r1c - (r1c // 8) * 8
-        Vl, taul = _left_make_v_batched(XC[...], ro1c, b)
-
-        # left applies, per lane in place
-        for l in range(L):
-            r_l, act = lane(l)
-            pl.when(act)(
-                lambda r_l=r_l, l=l: _left_apply(
-                    P, b, r_l + b, Vl[:, l : l + 1], taul[:, l : l + 1]
-                )
-            )
-
+        _wave_tick(P, n, b, L, PR, XC, T)
         return carry
 
     lax.fori_loop(jnp.int32(0), jnp.int32(3 * (n - 2) + 2), tick, 0)
