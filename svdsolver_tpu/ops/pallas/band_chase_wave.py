@@ -603,14 +603,16 @@ def _rec_spad(n, b):
 
 def wave_chase_accum_supported(n, band):
     """Gate for the recording wave chase: b == 128 (per-sweep-invariant
-    record lane offsets) and packed band + record blocks resident in VMEM."""
+    record lane offsets) and packed band + record blocks resident in VMEM
+    (14 MB: validated at n=4992 / 13.1 MB resident after the D=512 packed
+    width shrink)."""
     b = int(band)
     if b != 128 or n < 2:
         return False
     Npad = -(-(n + 3 * b + 8) // 128) * 128
     NB = _n_lanes(n, b) + 2
     rec_bytes = 2 * NB * _rec_spad(n, b) * WR * 4
-    return Npad * D * 4 + rec_bytes <= 13 * 1024 * 1024
+    return Npad * D * 4 + rec_bytes <= 14 * 1024 * 1024
 
 
 def wave_chase_accum_preferred(n, band):

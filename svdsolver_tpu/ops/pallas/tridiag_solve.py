@@ -54,7 +54,9 @@ def _fwd_kernel(
     cc_ref,
     y_ref,
 ):
-    g = pl.program_id(0)
+    # grid (C, G): lane chunks outer (independent problems), row blocks
+    # inner (the recurrence) — carries persist in scratch across g
+    g = pl.program_id(1)
     dtype = rhs_ref.dtype
     zero = jnp.zeros((), dtype)
     one = jnp.ones((), dtype)
@@ -120,7 +122,7 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(u0_ref, u1_ref, u2_ref, rr_ref, big_ref, sol_ref, s1_ref, s2_ref):
-    gg = pl.program_id(0)
+    gg = pl.program_id(1)
     dtype = sol_ref.dtype
     big = big_ref[0, 0]
 
@@ -155,12 +157,20 @@ def tgk_solve_pallas(z, lam, rhs, pivmin, big):
         return _tgk_solve_pallas(z, lam, rhs, pivmin, big)
 
 
+LC = 128  # lane-chunk width (vreg lanes): bounds the pipelined block
+# footprint at (128, 8, LC)*4B = 0.5 MB x (5 tensors) x (2 buffers) —
+# without chunking, n >= ~3900 blows the 16 MB scoped-VMEM budget
+
+
 def _tgk_solve_pallas(z, lam, rhs, pivmin, big):
     N, n = rhs.shape
     dtype = rhs.dtype
-    # lanes as (8, L): pad n so L = npad // 8 is a whole number of vregs
+    # lanes as (8, L): pad n so L = npad // 8 is a whole number of vregs;
+    # the per-lane recurrences are independent, so lanes split into C
+    # grid chunks of LC (the outer, slowest-varying grid dim)
     npad = -(-n // 1024) * 1024
     L = npad // 8
+    C = L // LC
     Npad = -(-N // 128) * 128
     G = Npad // 128
 
@@ -176,42 +186,49 @@ def _tgk_solve_pallas(z, lam, rhs, pivmin, big):
     piv = jnp.reshape(pivmin.astype(dtype), (1, 1))
     big2 = jnp.reshape(big.astype(dtype), (1, 1))
 
-    full = lambda s: pl.BlockSpec(s, lambda g: (0,) * len(s), memory_space=pltpu.VMEM)
-    rows = pl.BlockSpec((128, 8, L), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+    rowdata = lambda: pl.BlockSpec(
+        (1, Npad), lambda c, g: (0, 0), memory_space=pltpu.VMEM
+    )
+    lanes = lambda: pl.BlockSpec(
+        (8, LC), lambda c, g: (0, c), memory_space=pltpu.VMEM
+    )
+    rows = pl.BlockSpec(
+        (128, 8, LC), lambda c, g: (g, 0, c), memory_space=pltpu.VMEM
+    )
     out_sh = jax.ShapeDtypeStruct((Npad, 8, L), dtype)
 
     U0, U1, U2, R = pl.pallas_call(
         functools.partial(_fwd_kernel, N),
-        grid=(G,),
+        grid=(C, G),
         in_specs=[
-            full((1, Npad)),
-            full((1, Npad)),
-            full((8, L)),
-            full((8, L)),
+            rowdata(),
+            rowdata(),
+            lanes(),
+            lanes(),
             rows,
-            pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda c, g: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[rows, rows, rows, rows],
         out_shape=[out_sh] * 4,
-        scratch_shapes=[pltpu.VMEM((8, L), dtype)] * 3,
+        scratch_shapes=[pltpu.VMEM((8, LC), dtype)] * 3,
     )(za, zc, lam8, r0, rhs3, piv)
 
     rrows = pl.BlockSpec(
-        (128, 8, L), lambda gg: (G - 1 - gg, 0, 0), memory_space=pltpu.VMEM
+        (128, 8, LC), lambda c, gg: (G - 1 - gg, 0, c), memory_space=pltpu.VMEM
     )
     sol = pl.pallas_call(
         _bwd_kernel,
-        grid=(G,),
+        grid=(C, G),
         in_specs=[
             rrows,
             rrows,
             rrows,
             rrows,
-            pl.BlockSpec((1, 1), lambda gg: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda c, gg: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=rrows,
         out_shape=out_sh,
-        scratch_shapes=[pltpu.VMEM((8, L), dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((8, LC), dtype)] * 2,
     )(U0, U1, U2, R, big2)
 
     return sol.reshape(Npad, npad)[:N, :n]

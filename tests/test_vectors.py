@@ -133,6 +133,24 @@ def test_two_stage_svd_large_dense_spectrum(rng):
     assert np.abs(Vh @ Vh.T - np.eye(n)).max() < 1e-4
 
 
+def test_full_svd_at_scale(rng):
+    # Regression for a scoped-VMEM OOM: tgk_solve_pallas pipelined
+    # (128, 8, n_pad/8) blocks whose double-buffered footprint crossed the
+    # 16 MB budget for n >= ~3900, so svd() failed OUTRIGHT at scale while
+    # every smaller-n test passed.  Lanes now stream in LC-wide grid
+    # chunks; n=4096 sits past the old threshold.  Checks reconstruction
+    # and orthogonality, not just completion.
+    n = 4096
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    U, s, Vh = svd(A)
+    U, s, Vh = np.asarray(U), np.asarray(s), np.asarray(Vh)
+    assert np.isfinite(U).all() and np.isfinite(Vh).all()
+    nrm = float(s[0])
+    assert np.abs(U @ np.diag(s) @ Vh - np.asarray(A)).max() < 1e-4 * nrm
+    assert np.abs(U.T @ U - np.eye(n)).max() < 1e-4
+    assert np.abs(Vh @ Vh.T - np.eye(n)).max() < 1e-4
+
+
 def test_two_stage_svd_f64_repeated(rng):
     n = 96
     Q1, _ = np.linalg.qr(rng.normal(size=(n, n)))
