@@ -95,6 +95,27 @@ def main():
     except Exception as exc:  # diagnostics only — never break the bench line
         print(f"north-star bench failed: {exc}", file=sys.stderr)
 
+    # ---- scale point: full sigma at 7680^2 fp32 (grouped streamed chase) --
+    sc_s = None
+    try:
+        SCN = 7680
+        Asc = jnp.asarray(rng.normal(size=(SCN, SCN)).astype(np.float32))
+
+        def run_sc(x):
+            return np.asarray(svdvals(x, method="tpu2")[0])
+
+        run_sc(Asc)  # compile
+        sc_times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run_sc(Asc)
+            sc_times.append(time.perf_counter() - t0)
+        sc_s = min(sc_times)
+        print(f"scale: svdvals {SCN}^2 fp32 times {sc_times}", file=sys.stderr)
+        del Asc
+    except Exception as exc:
+        print(f"scale bench failed: {exc}", file=sys.stderr)
+
     # full-pipeline breakdown (flagship tpu2 path, auto band) to stderr
     try:
         from svdsolver_tpu.utils.profiling import stage_timings
@@ -153,6 +174,8 @@ def main():
     if ns_s is not None:
         line["northstar_svdvals_N3840_fp32_s"] = round(ns_s, 4)
         line["northstar_max_rel_err_vs_lapack"] = float(f"{ns_err:.3e}")
+    if sc_s is not None:
+        line["svdvals_N7680_fp32_s"] = round(sc_s, 4)
     if svd_s is not None:
         line["full_svd_N2048_fp32_s"] = round(svd_s, 4)
         line["full_svd_N2048_max_recon_rel_err"] = float(f"{svd_err:.3e}")
