@@ -588,10 +588,20 @@ def svd_two_stage(A, band=None):
             band_to_bidiagonal_pallas_wave_accum,
             wave_chase_accum_preferred,
         )
+        from svdsolver_tpu.ops.pallas.band_chase_stream import (
+            band_to_bidiagonal_pallas_stream_accum,
+            stream_chase_accum_preferred,
+        )
 
         if wave_chase_accum_preferred(Ab.shape[0], b):
             # past the HBM row-stride cliff: VMEM-resident recording chase
             d, e, VL, TL, VR, TR = band_to_bidiagonal_pallas_wave_accum(
+                Ab, band=b
+            )
+        elif stream_chase_accum_preferred(Ab.shape[0], b):
+            # past the wave kernel's VMEM residency: streamed recording
+            # wavefront (windows through HBM, resident tail)
+            d, e, VL, TL, VR, TR = band_to_bidiagonal_pallas_stream_accum(
                 Ab, band=b
             )
         else:

@@ -68,43 +68,53 @@ from svdsolver_tpu.ops.pallas.band_chase_vmem import (
     _right_elim,
     _HBM_FAST_LANES,
 )
-from svdsolver_tpu.ops.pallas.band_chase_wave import _n_lanes, _wave_tick
+from svdsolver_tpu.ops.pallas.band_chase_wave import (
+    _n_lanes,
+    _rec_flush,
+    _rec_spad,
+    _wave_tick,
+    _wave_tick_rec,
+)
 
 DS = 512  # packed/streamed width: all live+bulge lanes are provably < 511
 W = 3328  # window rows (26 * 128): must be >= (h + 1) * b + 136
+# Recording variant's window rows: smaller, so BUF leaves VMEM room for the
+# rotating record blocks (2*W_REC*DS*4 = 10.5 MB + ~2.5 MB records)
+W_REC = 2560
 
 
-def _hops_per_window(b):
-    """Largest h with (h+1)*b + 136 <= W (window covers h hops plus the
+def _hops_per_window(b, w_rows=W):
+    """Largest h with (h+1)*b + 136 <= w_rows (window covers h hops plus the
     io <= 127 base-alignment offset and the 2b+8 elimination span) and
     h*b % 128 == 0 (keeps window bases 128-aligned)."""
-    for h in range((W - 136) // b - 1, 0, -1):
+    for h in range((w_rows - 136) // b - 1, 0, -1):
         if (h * b) % 128 == 0:
             return h
     return None
 
 
-def _tail_rows_cap(b):
-    """Largest n_local whose FULL chase fits the (2W, DS) buffer: the
+def _tail_rows_cap(b, w_rows=W):
+    """Largest n_local whose FULL chase fits the (2*w_rows, DS) buffer: the
     deepest slab any phase-B sweep touches ends at n_local + 2b + 6."""
-    return 2 * W - 2 * b - 8
+    return 2 * w_rows - 2 * b - 8
 
 
 LG = 4  # phase-A group width: wavefront lanes per streamed pass (b >= 32)
 
 
-def _group_hops_per_window(b, lg):
-    """Largest h with (3*lg + h)*b + 136 <= W (the window must cover the
-    io <= 127 base offset, the lg-lane wavefront span at 3-hop spacing,
+def _group_hops_per_window(b, lg, w_rows=W):
+    """Largest h with (3*lg + h)*b + 136 <= w_rows (the window must cover
+    the io <= 127 base offset, the lg-lane wavefront span at 3-hop spacing,
     h ticks of advance, and the 2b+8 elimination span) and h*b % 128 == 0
     (keeps window bases 128-aligned)."""
-    for h in range((W - 136) // b - 3 * lg, 0, -1):
+    for h in range((w_rows - 136) // b - 3 * lg, 0, -1):
         if (h * b) % 128 == 0:
             return h
     return None
 
 
 def _stream_chase_kernel(
+    W,
     n,
     b,
     h,
@@ -113,29 +123,60 @@ def _stream_chase_kernel(
     Ltail,
     Lg,
     hg,
-    A_in,
-    d_out,
-    e_out,
-    P,
-    BUF,
-    stage,
-    PR,
-    XC,
-    sem_pack,
-    sem_in,
-    sem_out,
+    rec,
+    s_pad,
+    s_blk_B,
+    NB_A,
+    NB_B,
+    *refs,
 ):
     """Streamed chase over HBM-packed ``P`` (Npad, DS) via window buffer
     ``BUF`` ((2W, DS) VMEM — two W-row slots, selected by window parity).
 
     Sweeps [0, R0) stream (phase A); sweeps [R0, n-1) run entirely inside
     ``BUF`` on the resident tail P[R0:R0+2W) (phase B) — the 128-aligned
-    cut R0 is chosen so the tail subproblem (n - R0 rows) fits."""
+    cut R0 is chosen so the tail subproblem (n - R0 rows) fits.
+
+    ``W`` is the window row count (static): the plain kernel uses the
+    module default, the recording variant a smaller one.  With ``rec``
+    (static bool, requires b == 128 and grouped/wavefront phases) the
+    wavefront ticks additionally record every reflector into rotating
+    VMEM blocks (phase A: ``NB_A`` blocks x ``s_pad`` rows; phase B:
+    ``NB_B`` x ``s_blk_B``) and flush each sweep to the ``VRr``/``VLr``
+    HBM outputs at its last hop (:func:`band_chase_wave._rec_flush`;
+    phase-B flushes write ``s_blk_B`` rows at the global ``s_pad`` output
+    stride — the wrapper masks the never-written remainder)."""
+    if rec:
+        (
+            A_in, d_out, e_out, VRr, VLr,
+            P, BUF, stage, PR, XC, RECR, RECL,
+            sem_pack, sem_in, sem_out, sem_rec,
+        ) = refs
+    else:
+        (
+            A_in, d_out, e_out,
+            P, BUF, stage, PR, XC,
+            sem_pack, sem_in, sem_out,
+        ) = refs
     w = b + 1
     dtype = P.dtype
     zero = jnp.zeros((), dtype)
     hb = h * b
     n128 = -(-n // 128) * 128
+
+    if rec:
+
+        def flush_a(i_s, buf):
+            _rec_flush(
+                RECR, RECL, VRr, VLr, sem_rec, s_pad, s_pad, 0, i_s, buf
+            )
+
+        def flush_b(i_s, buf):
+            # phase-B sweep indices are tail-local; records land at the
+            # global output slot (R0 + i_s) * s_pad, s_blk_B rows each
+            _rec_flush(
+                RECR, RECL, VRr, VLr, sem_rec, s_blk_B, s_pad, R0, i_s, buf
+            )
 
     # ---- pack: assemble each 128-row block in VMEM, DMA to HBM ----------
     for br in range(Npad // 128):
@@ -350,10 +391,17 @@ def _stream_chase_kernel(
             t_hi = jnp.minimum(tstart + (j + 1) * hg, t_max + 1)
 
             def tick(t, c3):
-                _wave_tick(
-                    BUF, n, b, Lg, PR, XC, 3 * i0 + t,
-                    i_lo=i0, i_hi=i_hi, row_off=row_off,
-                )
+                if rec:
+                    _wave_tick_rec(
+                        BUF, n, b, Lg, PR, XC, 3 * i0 + t,
+                        RECR, RECL, NB_A, s_pad, flush_a,
+                        i_lo=i0, i_hi=i_hi, row_off=row_off,
+                    )
+                else:
+                    _wave_tick(
+                        BUF, n, b, Lg, PR, XC, 3 * i0 + t,
+                        i_lo=i0, i_hi=i_hi, row_off=row_off,
+                    )
                 return c3
 
             lax.fori_loop(t_lo, t_hi, tick, 0)
@@ -402,7 +450,13 @@ def _stream_chase_kernel(
         # unchanged (bitwise-equal to the sequential sweeps — the wave
         # schedule's disjoint-slab linearization argument).
         def tick_tail(T, carry):
-            _wave_tick(BUF, n_local, b, Ltail, PR, XC, T)
+            if rec:
+                _wave_tick_rec(
+                    BUF, n_local, b, Ltail, PR, XC, T,
+                    RECR, RECL, NB_B, s_blk_B, flush_b,
+                )
+            else:
+                _wave_tick(BUF, n_local, b, Ltail, PR, XC, T)
             return carry
 
         lax.fori_loop(
@@ -520,7 +574,8 @@ def _band_to_bidiagonal_pallas_stream(A, band=128):
         A = jnp.pad(A, ((0, n128 - n), (0, n128 - n)))
     d2, e2, _ = pl.pallas_call(
         functools.partial(
-            _stream_chase_kernel, n, b, h, Npad, R0, Ltail, Lg, hg
+            _stream_chase_kernel, W, n, b, h, Npad, R0, Ltail, Lg, hg,
+            False, 0, 0, 0, 0,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nb, 128), dtype),
@@ -547,3 +602,148 @@ def _band_to_bidiagonal_pallas_stream(A, band=128):
     d = d2.reshape(-1)[:n]
     e = e2.reshape(-1)[: n - 1]
     return d, e
+
+
+def _stream_accum_params(n, b):
+    """Static geometry of the recording streamed chase (W_REC windows)."""
+    h = _hops_per_window(b, W_REC)
+    tcap = _tail_rows_cap(b, W_REC)
+    R0 = -(-(n - tcap) // 128) * 128 if n > tcap else 0
+    n_local = n - R0
+    Ltail = _n_lanes(n_local, b)
+    Lp = max(8, -(-Ltail // 8) * 8)
+    hg = _group_hops_per_window(b, LG, W_REC)
+    s_pad = _rec_spad(n, b)
+    s_blk_B = _rec_spad(n_local, b)
+    # phase-A blocks rotate within one LG-sweep group (previous groups are
+    # fully flushed before the next starts); phase-B in-flight sweeps are
+    # bounded by the lane count (block i is zeroed at tick 3i, sweep
+    # i - NB_B's last hop is at 3(i - NB_B) + nc <= 3i - 6 + nc - 3*Ltail
+    # < 3i since nc <= 3*Ltail)
+    NB_A = LG
+    NB_B = Ltail + 2
+    rec_rows = max(NB_A * s_pad, NB_B * s_blk_B)
+    return h, R0, n_local, Ltail, Lp, hg, s_pad, s_blk_B, NB_A, NB_B, rec_rows
+
+
+def stream_chase_accum_supported(n, band):
+    """Gate for the recording streamed chase: b == 128 (the record-roll
+    canonicalization in band_chase_wave._rec_flush needs sweep-invariant
+    lane offsets) and VMEM budget — BUF (2*W_REC, DS) + stage + pivot
+    buffers + the rotating record blocks (phases are sequential, so the
+    block scratch is sized max(phase A, phase B))."""
+    b = int(band)
+    if b != 128 or n < 2:
+        return False
+    (h, R0, n_local, Ltail, Lp, hg, s_pad, s_blk_B, NB_A, NB_B,
+     rec_rows) = _stream_accum_params(n, b)
+    if h is None or hg is None or Ltail < 1:
+        return False
+    vmem = (
+        2 * W_REC * DS + 128 * DS + Lp * DS + (b + 8) * 128
+        + 2 * rec_rows * DS
+    ) * 4
+    return vmem <= 15 * 1024 * 1024
+
+
+def stream_chase_accum_preferred(n, band):
+    """Recording-chase routing slot past the wave kernel's VMEM residency
+    (vectors.svd_two_stage checks wave_chase_accum_preferred first): the
+    dense HBM recording kernel collapses past the row-stride cliff; this
+    one keeps wavefront batching at streamed-window cost at any n."""
+    b = int(band)
+    if not stream_chase_accum_supported(n, b):
+        return False
+    mc = -(-2 * b // 128) * 128 + 128
+    dense_lanes = -(-(n + b + mc + 16) // 128) * 128
+    return dense_lanes > _HBM_FAST_LANES
+
+
+def band_to_bidiagonal_pallas_stream_accum(A, band=128):
+    """Recording streamed chase; returns ``(d, e, VL, TL, VR, TR)`` with
+    the same record convention as band_chase.band_to_bidiagonal_pallas_accum
+    (reflector (i, s) supported on rows/cols ``[i+1+s*band, i+1+(s+1)*band)``).
+    Callers gate via :func:`stream_chase_accum_supported`.
+
+    Extends full-SVD reflector recording past the wave kernel's VMEM
+    residency (~n=5100 at band=128): phase A streams sweeps in recording
+    wavefront groups, phase B records the resident tail.  Same schedule
+    and elimination arithmetic as the plain streamed chase, so d/e are
+    bitwise-identical to it (and to the VMEM/wave kernels)."""
+    with jax.enable_x64(False):
+        return _band_to_bidiagonal_pallas_stream_accum(A, band=band)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def _band_to_bidiagonal_pallas_stream_accum(A, band=128):
+    n = A.shape[0]
+    b = int(band)
+    dtype = A.dtype
+    if not stream_chase_accum_supported(n, b):
+        raise ValueError(
+            f"stream accum chase unsupported for n={n}, band={b}"
+        )
+    (h, R0, n_local, Ltail, Lp, hg, s_pad, s_blk_B, NB_A, NB_B,
+     rec_rows) = _stream_accum_params(n, b)
+    assert (h + 1) * b + 136 <= W_REC and (h * b) % 128 == 0
+    assert 128 + W_REC <= 2 * h * b  # prefetch data-finality (see kernel)
+    n128 = -(-n // 128) * 128
+    Npad = -(-(n + b + W_REC + 128) // 128) * 128
+    nb = n128 // 128
+    if n128 != n:  # align for the pack DMAs
+        A = jnp.pad(A, ((0, n128 - n), (0, n128 - n)))
+    d2, e2, VRr, VLr, _ = pl.pallas_call(
+        functools.partial(
+            _stream_chase_kernel, W_REC, n, b, h, Npad, R0, Ltail, LG, hg,
+            True, s_pad, s_blk_B, NB_A, NB_B,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 128), dtype),
+            jax.ShapeDtypeStruct((nb, 128), dtype),
+            jax.ShapeDtypeStruct(((n - 1) * s_pad, 128), dtype),
+            jax.ShapeDtypeStruct(((n - 1) * s_pad, 128), dtype),
+            jax.ShapeDtypeStruct((Npad, DS), dtype),  # HBM pack buffer
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * W_REC, DS), dtype),
+            pltpu.VMEM((128, DS), dtype),
+            pltpu.VMEM((Lp, DS), dtype),
+            pltpu.VMEM((b + 8, 128), dtype),
+            pltpu.VMEM((rec_rows, DS), dtype),
+            pltpu.VMEM((rec_rows, DS), dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(A)
+    d = d2.reshape(-1)[:n]
+    e = e2.reshape(-1)[: n - 1]
+    w1 = 2 * (b + 1) - 1
+    s_max = max(0, -(-(n - w1) // b)) + 2
+    VR = VRr.reshape(n - 1, s_pad, 128)[:, :s_max, :b]
+    VL = VLr.reshape(n - 1, s_pad, 128)[:, :s_max, :b]
+    # phase-B flushes write only s_blk_B of each sweep's s_pad output rows;
+    # zero every slot past the sweep's schedule (head + nc hops) so the
+    # never-written remainder (uninitialized HBM) cannot leak in
+    iv = jnp.arange(n - 1, dtype=jnp.int32)
+    nc = jnp.maximum(0, -(-(jnp.int32(n) - (iv + w1)) // b)) + 1
+    slot = jnp.arange(s_max, dtype=jnp.int32)
+    valid = slot[None, :] <= nc[:, None]
+    VR = jnp.where(valid[:, :, None], VR, jnp.zeros((), dtype))
+    VL = jnp.where(valid[:, :, None], VL, jnp.zeros((), dtype))
+
+    def tau_from_v(V):
+        nrm2 = jnp.sum(V * V, axis=-1)
+        return jnp.where(nrm2 == 0, jnp.zeros((), dtype), 2.0 / nrm2)
+
+    return d, e, VL, tau_from_v(VL), VR, tau_from_v(VR)

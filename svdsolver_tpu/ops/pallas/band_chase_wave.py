@@ -348,6 +348,195 @@ def _left_make_v(xcol, ro1, b):
     return v, tau
 
 
+def _rec_flush(RECR, RECL, VRr, VLr, sem_rec, s_blk, s_out, i_off, i_s, buf):
+    """Canonicalize + flush sweep ``i_s``'s records (called at its last hop).
+
+    Right records live in packed zone-0 lane coords: hop slot support starts
+    at lane 256 + co (x = b + r%128 + 128, b == 128), the head slot 128
+    lower (x = 1 + i%128 + 128) — one whole-block roll plus a static row-0
+    patch.  Left records are in slab-local row coords (sweep-invariant pivot
+    sublane ro for head AND hops).
+
+    ``s_blk`` rows of block ``buf`` flush to the HBM outputs at row
+    ``(i_s + i_off) * s_out`` — ``i_off`` (python int, 128-aligned) maps a
+    window-local sweep index to its global output slot (the roll offsets are
+    unchanged: they depend on the sweep index mod 128 / mod 8 only)."""
+    co = lax.rem(i_s + i_off + 1, jnp.int32(128))
+    coh = lax.rem(i_s + i_off, jnp.int32(128))  # head support: lane 129+coh
+    ro = lax.rem(i_s + i_off + 1, jnp.int32(8))
+    blkR = RECR[pl.ds(buf * s_blk, s_blk), :]
+    rolled = pltpu.roll(blkR, -(co + 256), axis=1)
+    RECR[pl.ds(buf * s_blk, s_blk), :] = rolled
+    top = pltpu.roll(blkR[0:1, :], -(coh + 129), axis=1)
+    RECR[pl.ds(buf * s_blk, 1), :] = top
+    blkL = RECL[pl.ds(buf * s_blk, s_blk), :]
+    RECL[pl.ds(buf * s_blk, s_blk), :] = pltpu.roll(blkL, -ro, axis=1)
+    cps = [
+        pltpu.make_async_copy(
+            RECR.at[pl.ds(buf * s_blk, s_blk), pl.ds(0, 128)],
+            VRr.at[pl.ds((i_s + i_off) * s_out, s_blk)],
+            sem_rec.at[0],
+        ),
+        pltpu.make_async_copy(
+            RECL.at[pl.ds(buf * s_blk, s_blk), pl.ds(0, 128)],
+            VLr.at[pl.ds((i_s + i_off) * s_out, s_blk)],
+            sem_rec.at[1],
+        ),
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+
+def _wave_tick_rec(
+    P, n, b, L, PR, XC, T, RECR, RECL, NB, s_blk, flush,
+    i_lo=None, i_hi=None, row_off=None,
+):
+    """Recording variant of :func:`_wave_tick` (``b == 128`` only — the
+    record-roll canonicalization in :func:`_rec_flush` needs sweep-invariant
+    lane offsets): the same wavefront tick, additionally capturing every
+    reflector into rotating per-sweep VMEM record blocks (``RECR``/``RECL``,
+    ``NB`` blocks x ``s_blk`` rows; a sweep's block is zeroed at its head
+    and handed to ``flush(i_s, buf)`` at its last hop — NB must exceed the
+    max sweeps in flight so a block is never reused before its flush).
+
+    Taus are not stored; the host recovers tau = 2 / (v^T v).
+
+    Same window-local coordinate contract as :func:`_wave_tick`
+    (``i_lo``/``i_hi`` pin the active sweep range, ``row_off`` — traced,
+    128-aligned — maps sweep rows to window-local ``P`` rows); sweep indices
+    seen by the record blocks and ``flush`` are in the tick's local frame.
+    """
+    w = b + 1
+    dtype = P.dtype
+    zero = jnp.zeros((), dtype)
+    Lp = PR.shape[0]
+    Q = b + 8
+    lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
+    qi8 = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    li = lax.broadcasted_iota(jnp.int32, (Lp, 1), 0)
+    cj_t = lax.broadcasted_iota(jnp.int32, (Q, 1), 0)
+    lj_t = lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    off = 0 if row_off is None else row_off
+
+    # ---- head (sweep T//3's k=0 pair), recording -------------------------
+    head_ok = jnp.logical_and(T % 3 == 0, T // 3 <= n - 2)
+    if i_hi is not None:
+        head_ok = jnp.logical_and(head_ok, T // 3 <= i_hi)
+
+    @pl.when(head_ok)
+    def _head():
+        i = T // 3
+        bufh = lax.rem(i, jnp.int32(NB))
+        RECR[pl.ds(bufh * s_blk, s_blk), :] = jnp.zeros((s_blk, WR), dtype)
+        RECL[pl.ds(bufh * s_blk, s_blk), :] = jnp.zeros((s_blk, WR), dtype)
+        r8 = ((i - off) // 8) * 8
+        ro = (i - off) - r8
+        rows8 = P[pl.ds(r8, 8), :WR]
+        prow = jnp.sum(
+            jnp.where(qi8 == ro, rows8, zero), axis=0, keepdims=True
+        )
+        xh = 1 + lax.rem(i, jnp.int32(128)) + 128
+        vh, tauh = _make_v(prow, xh, b, lane_r)
+        _right_apply(P, b, i - off, vh, tauh, b + 8, w)
+        RECR[pl.ds(bufh * s_blk, 1), :] = jnp.where(tauh == 0, zero, vh)
+        xcol = _left_xcol(P, b, i + 1 - off)
+        ro1 = (i + 1 - off) - ((i + 1 - off) // 8) * 8
+        vl, taul_h = _left_make_v(xcol, ro1, b)
+        _left_apply(P, b, i + 1 - off, vl, taul_h)
+        vl_row = jnp.sum(
+            jnp.where(cj_t == lj_t, vl, zero), axis=0, keepdims=True
+        )  # (1, 256): entry j = vl[j]
+        vl_row = jnp.where(taul_h == 0, zero, vl_row)
+        RECL[pl.ds(bufh * s_blk, 1), pl.ds(0, 256)] = vl_row
+
+    # ---- hop lanes (lane mapping as in _wave_tick) -----------------------
+    i_base = (T + 2) // 3 - 1
+    lane_anchor = i_base if i_hi is None else i_hi
+    iv = lane_anchor - li
+    kv = T - 3 * iv
+    rv = iv + 1 + (kv - 1) * b
+
+    def lane(l):
+        i_l = lane_anchor - l
+        k_l = T - 3 * i_l
+        r_l = i_l + 1 + (k_l - 1) * b - off
+        act = jnp.logical_and(
+            jnp.logical_and(i_l >= 0, i_l <= n - 2),
+            k_l <= _nc_of(i_l, n, b),
+        )
+        if i_hi is not None:
+            act = jnp.logical_and(act, k_l >= 1)
+        if i_lo is not None:
+            act = jnp.logical_and(act, i_l >= i_lo)
+        return i_l, k_l, r_l, act
+
+    for l in range(L):
+        _, _, r_l, act = lane(l)
+
+        @pl.when(act)
+        def _gather(r_l=r_l, l=l):
+            r8 = (r_l // 8) * 8
+            ro = r_l - r8
+            rows8 = P[pl.ds(r8, 8), :WR]
+            PR[l : l + 1, :] = jnp.sum(
+                jnp.where(qi8 == ro, rows8, zero), axis=0, keepdims=True
+            )
+
+    xv = b + lax.rem(rv, jnp.int32(128)) + 128
+    Vr, taur = _make_v(PR[...], xv, b, lane_r)
+    Vrm = jnp.where(taur == 0, zero, Vr)
+
+    for l in range(L):
+        i_l, k_l, r_l, act = lane(l)
+
+        @pl.when(act)
+        def _right(i_l=i_l, k_l=k_l, r_l=r_l, l=l):
+            _right_apply(
+                P, b, r_l, Vr[l : l + 1, :], taur[l : l + 1, :], 2 * b,
+                2 * b,
+            )
+            row = lax.rem(i_l, jnp.int32(NB)) * s_blk + k_l
+            RECR[pl.ds(row, 1), :] = Vrm[l : l + 1, :]
+
+    for l in range(L):
+        _, _, r_l, act = lane(l)
+
+        @pl.when(act)
+        def _extract(r_l=r_l, l=l):
+            XC[:, l : l + 1] = _left_xcol(P, b, r_l + b)
+
+    lc = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    ivc = lane_anchor - lc
+    r1c = ivc + 1 + (T - 3 * ivc - 1) * b + b
+    ro1c = r1c - (r1c // 8) * 8
+    Vl, taul = _left_make_v_batched(XC[...], ro1c, b)
+    # ALL lanes' left columns -> record rows in one exact transpose
+    # (Mosaic lowers lax.transpose natively; measured far cheaper than
+    # the MXU identity-contraction alternative)
+    Vlm = jnp.where(taul == 0, zero, Vl)
+    VlT = lax.transpose(Vlm, (1, 0))  # (128, Q): row l = lane l's col
+    VlT = jnp.concatenate(
+        [VlT, jnp.zeros((128, 256 - Q), dtype)], axis=1
+    )
+
+    for l in range(L):
+        i_l, k_l, r_l, act = lane(l)
+
+        @pl.when(act)
+        def _left(i_l=i_l, k_l=k_l, r_l=r_l, l=l):
+            _left_apply(
+                P, b, r_l + b, Vl[:, l : l + 1], taul[:, l : l + 1]
+            )
+            row = lax.rem(i_l, jnp.int32(NB)) * s_blk + k_l
+            RECL[pl.ds(row, 1), pl.ds(0, 256)] = VlT[l : l + 1, :]
+
+        @pl.when(jnp.logical_and(act, k_l == _nc_of(i_l, n, b)))
+        def _flush(i_l=i_l, l=l):
+            flush(i_l, lax.rem(i_l, jnp.int32(NB)))
+
+
 def _wave_chase_rec_kernel(
     n, b, Npad, L, NB, s_pad,
     A_in,
@@ -364,18 +553,16 @@ def _wave_chase_rec_kernel(
     its last hop: one ``pltpu.roll`` canonicalizes the whole sweep's
     records (b == 128 makes the lane offset sweep-invariant — the same
     trick as band_chase._chase_kernel_rec), then one DMA per side.  Left
-    reflectors are columns; a single identity-contraction MXU transpose
-    per tick turns ALL lanes' columns into record rows at once (exact:
-    one nonzero product per output), replacing the per-pair mask-reduce
-    transpose that dominates the HBM recording kernel's overhead.
+    reflectors are columns; a single native transpose per tick turns ALL
+    lanes' columns into record rows at once, replacing the per-pair
+    mask-reduce transpose that dominates the HBM recording kernel's
+    overhead.  Tick body and flush shared with the recording streamed
+    chase: :func:`_wave_tick_rec` / :func:`_rec_flush`.
 
     Taus are not stored; the host recovers tau = 2 / (v^T v).
     """
-    w = b + 1
     dtype = P.dtype
     zero = jnp.zeros((), dtype)
-    Lp = PR.shape[0]
-    Q = b + 8
     n128 = -(-n // 128) * 128
 
     # ---- pack (identical to band_chase_vmem) ----------------------------
@@ -398,161 +585,11 @@ def _wave_chase_rec_kernel(
         cp.start()
         cp.wait()
 
-    lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
-    qi8 = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    li = lax.broadcasted_iota(jnp.int32, (Lp, 1), 0)
-    cj_t = lax.broadcasted_iota(jnp.int32, (Q, 1), 0)
-    lj_t = lax.broadcasted_iota(jnp.int32, (1, 256), 1)
-
     def flush(i_s, buf):
-        """Canonicalize + flush sweep ``i_s``'s records (its last hop).
-
-        Right records live in packed zone-0 lane coords: hop slot support
-        starts at lane 256 + co (x = b + r%128 + 128, b == 128), the head
-        slot 128 lower (x = 1 + i%128 + 128) — one whole-block roll plus a
-        static row-0 patch.  Left records are in slab-local row coords
-        (sweep-invariant pivot sublane ro for head AND hops)."""
-        co = lax.rem(i_s + 1, jnp.int32(128))
-        coh = lax.rem(i_s, jnp.int32(128))  # head support: lane 129 + coh
-        ro = lax.rem(i_s + 1, jnp.int32(8))
-        blkR = RECR[pl.ds(buf * s_pad, s_pad), :]
-        rolled = pltpu.roll(blkR, -(co + 256), axis=1)
-        RECR[pl.ds(buf * s_pad, s_pad), :] = rolled
-        top = pltpu.roll(blkR[0:1, :], -(coh + 129), axis=1)
-        RECR[pl.ds(buf * s_pad, 1), :] = top
-        blkL = RECL[pl.ds(buf * s_pad, s_pad), :]
-        RECL[pl.ds(buf * s_pad, s_pad), :] = pltpu.roll(blkL, -ro, axis=1)
-        cps = [
-            pltpu.make_async_copy(
-                RECR.at[pl.ds(buf * s_pad, s_pad), pl.ds(0, 128)],
-                VRr.at[pl.ds(i_s * s_pad, s_pad)],
-                sem_rec.at[0],
-            ),
-            pltpu.make_async_copy(
-                RECL.at[pl.ds(buf * s_pad, s_pad), pl.ds(0, 128)],
-                VLr.at[pl.ds(i_s * s_pad, s_pad)],
-                sem_rec.at[1],
-            ),
-        ]
-        for cp in cps:
-            cp.start()
-        for cp in cps:
-            cp.wait()
+        _rec_flush(RECR, RECL, VRr, VLr, sem_rec, s_pad, s_pad, 0, i_s, buf)
 
     def tick(T, carry):
-        # ---- head (sweep T//3's k=0 pair), recording ---------------------
-        @pl.when(jnp.logical_and(T % 3 == 0, T // 3 <= n - 2))
-        def _head():
-            i = T // 3
-            bufh = lax.rem(i, jnp.int32(NB))
-            RECR[pl.ds(bufh * s_pad, s_pad), :] = jnp.zeros(
-                (s_pad, WR), dtype
-            )
-            RECL[pl.ds(bufh * s_pad, s_pad), :] = jnp.zeros(
-                (s_pad, WR), dtype
-            )
-            r8 = (i // 8) * 8
-            ro = i - r8
-            rows8 = P[pl.ds(r8, 8), :WR]
-            prow = jnp.sum(
-                jnp.where(qi8 == ro, rows8, zero), axis=0, keepdims=True
-            )
-            xh = 1 + lax.rem(i, jnp.int32(128)) + 128
-            vh, tauh = _make_v(prow, xh, b, lane_r)
-            _right_apply(P, b, i, vh, tauh, b + 8, w)
-            RECR[pl.ds(bufh * s_pad, 1), :] = jnp.where(
-                tauh == 0, zero, vh
-            )
-            xcol = _left_xcol(P, b, i + 1)
-            ro1 = i + 1 - ((i + 1) // 8) * 8
-            vl, taul_h = _left_make_v(xcol, ro1, b)
-            _left_apply(P, b, i + 1, vl, taul_h)
-            vl_row = jnp.sum(
-                jnp.where(cj_t == lj_t, vl, zero), axis=0, keepdims=True
-            )  # (1, 256): entry j = vl[j]
-            vl_row = jnp.where(taul_h == 0, zero, vl_row)
-            RECL[pl.ds(bufh * s_pad, 1), pl.ds(0, 256)] = vl_row
-
-        # ---- hop lanes (as in the plain kernel) --------------------------
-        i_base = (T + 2) // 3 - 1
-        iv = i_base - li
-        kv = T - 3 * iv
-        rv = iv + 1 + (kv - 1) * b
-
-        def lane(l):
-            i_l = i_base - l
-            k_l = T - 3 * i_l
-            r_l = i_l + 1 + (k_l - 1) * b
-            act = jnp.logical_and(
-                jnp.logical_and(i_l >= 0, i_l <= n - 2),
-                k_l <= _nc_of(i_l, n, b),
-            )
-            return i_l, k_l, r_l, act
-
-        for l in range(L):
-            _, _, r_l, act = lane(l)
-
-            @pl.when(act)
-            def _gather(r_l=r_l, l=l):
-                r8 = (r_l // 8) * 8
-                ro = r_l - r8
-                rows8 = P[pl.ds(r8, 8), :WR]
-                PR[l : l + 1, :] = jnp.sum(
-                    jnp.where(qi8 == ro, rows8, zero), axis=0, keepdims=True
-                )
-
-        xv = b + lax.rem(rv, jnp.int32(128)) + 128
-        Vr, taur = _make_v(PR[...], xv, b, lane_r)
-        Vrm = jnp.where(taur == 0, zero, Vr)
-
-        for l in range(L):
-            i_l, k_l, r_l, act = lane(l)
-
-            @pl.when(act)
-            def _right(i_l=i_l, k_l=k_l, r_l=r_l, l=l):
-                _right_apply(
-                    P, b, r_l, Vr[l : l + 1, :], taur[l : l + 1, :], 2 * b,
-                    2 * b,
-                )
-                row = lax.rem(i_l, jnp.int32(NB)) * s_pad + k_l
-                RECR[pl.ds(row, 1), :] = Vrm[l : l + 1, :]
-
-        for l in range(L):
-            _, _, r_l, act = lane(l)
-
-            @pl.when(act)
-            def _extract(r_l=r_l, l=l):
-                XC[:, l : l + 1] = _left_xcol(P, b, r_l + b)
-
-        lc = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        ivc = i_base - lc
-        r1c = ivc + 1 + (T - 3 * ivc - 1) * b + b
-        ro1c = r1c - (r1c // 8) * 8
-        Vl, taul = _left_make_v_batched(XC[...], ro1c, b)
-        # ALL lanes' left columns -> record rows in one exact transpose
-        # (Mosaic lowers lax.transpose natively; measured far cheaper than
-        # the MXU identity-contraction alternative)
-        Vlm = jnp.where(taul == 0, zero, Vl)
-        VlT = lax.transpose(Vlm, (1, 0))  # (128, Q): row l = lane l's col
-        VlT = jnp.concatenate(
-            [VlT, jnp.zeros((128, 256 - Q), dtype)], axis=1
-        )
-
-        for l in range(L):
-            i_l, k_l, r_l, act = lane(l)
-
-            @pl.when(act)
-            def _left(i_l=i_l, k_l=k_l, r_l=r_l, l=l):
-                _left_apply(
-                    P, b, r_l + b, Vl[:, l : l + 1], taul[:, l : l + 1]
-                )
-                row = lax.rem(i_l, jnp.int32(NB)) * s_pad + k_l
-                RECL[pl.ds(row, 1), pl.ds(0, 256)] = VlT[l : l + 1, :]
-
-            @pl.when(jnp.logical_and(act, k_l == _nc_of(i_l, n, b)))
-            def _flush(i_l=i_l, l=l):
-                flush(i_l, lax.rem(i_l, jnp.int32(NB)))
-
+        _wave_tick_rec(P, n, b, L, PR, XC, T, RECR, RECL, NB, s_pad, flush)
         return carry
 
     lax.fori_loop(jnp.int32(0), jnp.int32(3 * (n - 2) + 2), tick, 0)

@@ -353,3 +353,45 @@ def test_pallas_tgk_solve_matches_xla(rng, n):
     xs = xs / np.linalg.norm(xs, axis=0)
     xp = xp / np.linalg.norm(xp, axis=0)
     assert np.abs(xs - xp).max() < 64 * eps
+
+
+def test_pallas_chase_stream_accum(rng):
+    # recording streamed chase (past the wave kernel's VMEM residency):
+    # d/e bitwise vs the plain streamed kernel (same schedule; only the
+    # window geometry and the record stores differ), and the records must
+    # reconstruct Ab = L B R^T with orthogonal L, R via the production
+    # compact-WY back-transform.  n=6656 exercises BOTH phases of the
+    # W_REC=2560 recording geometry (R0=1920 grouped streamed sweeps +
+    # 4736-row resident tail).
+    from svdsolver_tpu.ops.pallas.band_chase_stream import (
+        band_to_bidiagonal_pallas_stream,
+        band_to_bidiagonal_pallas_stream_accum,
+        stream_chase_accum_preferred,
+        _stream_accum_params,
+    )
+    from svdsolver_tpu.ops.pallas.band_chase_wave import (
+        wave_chase_accum_supported,
+    )
+    from svdsolver_tpu.models.vectors import _apply_chase_reflectors_wy
+    from svdsolver_tpu.ops.precision import pdot
+
+    n, b = 6656, 128
+    assert stream_chase_accum_preferred(n, b)
+    assert not wave_chase_accum_supported(n, b)  # this kernel's routing slot
+    assert _stream_accum_params(n, b)[1] > 0  # R0 > 0: phase A exercised
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ab = dense_to_band(A, band=b)
+    d0, e0 = band_to_bidiagonal_pallas_stream(Ab, band=b)
+    d, e, VL, TL, VR, TR = band_to_bidiagonal_pallas_stream_accum(Ab, band=b)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d))
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e))
+    eye = jnp.eye(n, dtype=A.dtype)
+    L = _apply_chase_reflectors_wy(VL, TL, eye, b)
+    R = _apply_chase_reflectors_wy(VR, TR, eye, b)
+    B = jnp.diag(d) + jnp.diag(e, 1)
+    orthL = float(jnp.abs(pdot(L.T, L) - eye).max())
+    orthR = float(jnp.abs(pdot(R.T, R) - eye).max())
+    assert orthL < 2e-4 and orthR < 2e-4
+    recon = pdot(pdot(L, B), R.T)
+    nrm = float(jnp.abs(Ab).max())
+    assert float(jnp.abs(recon - Ab).max()) / nrm < 2e-4
