@@ -37,7 +37,8 @@ from svdsolver_tpu.models.diagonalize import (
     convergence_threshold,
 )
 from svdsolver_tpu.models.svd import svdvals, svdvals_batch, Bidiagonal
-from svdsolver_tpu.models.vectors import svd, bidiagonal_svd
+from svdsolver_tpu.models.vectors import svd, svds, bidiagonal_svd
+from svdsolver_tpu.linalg import pinv, lstsq, matrix_rank, cond, norm2, lowrank
 
 __version__ = "0.1.0"
 
@@ -60,6 +61,13 @@ __all__ = [
     "svdvals",
     "svdvals_batch",
     "svd",
+    "svds",
     "bidiagonal_svd",
     "Bidiagonal",
+    "pinv",
+    "lstsq",
+    "matrix_rank",
+    "cond",
+    "norm2",
+    "lowrank",
 ]

@@ -267,9 +267,14 @@ def tgk_vectors(d, e, sig, iters=None, polish=None):
     u rebuilt as B v / sigma (see ``couple_clusters`` for why that beats
     x-space orthogonalization); clusters wider than 8 are orthogonalized
     only against their nearest 7 members (documented limitation).
+
+    ``sig`` may be any contiguous SUBSET of the spectrum (sorted descending)
+    — e.g. the top-k values for a partial SVD: the lane count everywhere is
+    ``sig.shape[0]``, independent of the matrix dimension.
     """
     n = d.shape[0]
     N = 2 * n
+    k = sig.shape[0]
     dtype = d.dtype
     if iters is None:
         iters = 2 if dtype == jnp.float32 else 3
@@ -311,7 +316,7 @@ def tgk_vectors(d, e, sig, iters=None, polish=None):
             return tgk_solve_pallas(z, lam, rhs, pivmin, big)
         return tgk_solve_xla(z, lam, rhs, pivmin, big)
 
-    x = jax.random.normal(jax.random.PRNGKey(0), (N, n), dtype)
+    x = jax.random.normal(jax.random.PRNGKey(0), (N, k), dtype)
 
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
@@ -327,12 +332,12 @@ def tgk_vectors(d, e, sig, iters=None, polish=None):
     ctol = 64 * eps
     linked = jnp.abs(sig[1:] - sig[:-1]) <= ctol * smax
     has_cluster = jnp.any(linked)
-    in_cluster = jnp.zeros((n,), bool).at[1:].set(linked)
+    in_cluster = jnp.zeros((k,), bool).at[1:].set(linked)
     in_cluster = in_cluster.at[:-1].max(linked)
     # dstein-style shift perturbation: spread duplicate shifts by a few ulps
     # so lanes of a multiplet are amplified toward different split eigvecs.
     is_start = jnp.concatenate([jnp.ones((1,), bool), ~linked])
-    idx = jnp.arange(n)
+    idx = jnp.arange(k)
     pic = idx - jnp.maximum.accumulate(jnp.where(is_start, idx, 0))
     lam = lam * (1 + 4 * eps * pic.astype(dtype))
 
@@ -405,7 +410,7 @@ def tgk_vectors(d, e, sig, iters=None, polish=None):
     # 3.3e-5 stall at n=2048).  Per-part polish removes it directly; the
     # mixing error it introduces couples only nearby-sigma lanes, so the
     # factorization error is O(defect * gap) — below the fp32 floor.
-    eye = jnp.eye(n, dtype=dtype)
+    eye = jnp.eye(k, dtype=dtype)
     u = x[1::2]
     v = x[0::2]
     # exact TGK eigenvectors split norm equally (1/sqrt(2) each); renormalize
@@ -422,8 +427,12 @@ def tgk_vectors(d, e, sig, iters=None, polish=None):
     return u, v  # (U_b, V_b)
 
 
-def bidiagonal_svd(d, e):
-    """Full SVD of the bidiagonal {d, e}: returns (U_b, sig, V_b)."""
+def bidiagonal_svd(d, e, k=None):
+    """SVD of the bidiagonal {d, e}: returns (U_b, sig, V_b).
+
+    ``k``: if given, vectors (and the returned sig) cover only the top-``k``
+    singular values; bisection still resolves the full spectrum (its cost is
+    independent of how many vectors are wanted)."""
     from svdsolver_tpu.models.svd import use_pallas
 
     if use_pallas(d.dtype):
@@ -432,6 +441,8 @@ def bidiagonal_svd(d, e):
         sig = bisect_svdvals_pallas(d, e)
     else:
         sig = bisect_svdvals(d, e)
+    if k is not None:
+        sig = sig[: min(int(k), sig.shape[0])]
     U_b, V_b = tgk_vectors(d, e, sig)
     return U_b, sig, V_b
 
@@ -546,7 +557,7 @@ def _apply_chase_reflectors_wy(V, T, M, band):
     return Mp[: M.shape[0]]
 
 
-def svd_two_stage(A, band=None):
+def svd_two_stage(A, band=None, k=None):
     """Full SVD through the flagship two-stage pipeline (square ``A``).
 
     ``A = U diag(s) V^T`` via: Stage I with U1/V1 compact-WY accumulation
@@ -554,6 +565,11 @@ def svd_two_stage(A, band=None):
     TGK bisection + inverse iteration for the bidiagonal vectors
     (``B = Ub diag(s) Vb^T``), then back-transformation
     ``U = U1 (L Ub)``, ``V = V1 (R Vb)``.
+
+    ``k``: if given, compute only the top-``k`` singular triplets (partial
+    SVD) — the reduction and bisection are unchanged (they produce the full
+    spectrum for the cost of the band reduction), but inverse iteration and
+    every back-transform GEMM run on ``k`` lanes instead of ``n``.
 
     The reference's two-stage *documents* U1/V1 outputs it never produces
     (svd_parallel.h:400-407); this delivers them.
@@ -616,12 +632,13 @@ def svd_two_stage(A, band=None):
     if s_used < VL.shape[1]:
         VL, TL = VL[:, :s_used], TL[:, :s_used]
         VR, TR = VR[:, :s_used], TR[:, :s_used]
-    U_b, s, V_b = bidiagonal_svd(d, e)
+    U_b, s, V_b = bidiagonal_svd(d, e, k=k)
+    kout = n if k is None else min(int(k), n)
     LU = _apply_chase_reflectors_wy(VL, TL, U_b, b)              # L @ Ub
     RV = _apply_chase_reflectors_wy(VR, TR, V_b, b)              # R @ Vb
     U = pdot(U1, LU)
     V = pdot(V1, RV)
-    return U[:n, :n], s[:n], V[:n, :n].T
+    return U[:n, :kout], s[:kout], V[:n, :kout].T
 
 
 def svd(A, panel=32, method="tpu2", band=None):
@@ -653,3 +670,30 @@ def svd(A, panel=32, method="tpu2", band=None):
     U = pdot(Ug, U_b)
     V = pdot(Vg, V_b)
     return U, s, V.T
+
+
+def svds(A, k, band=None):
+    """Top-``k`` partial SVD: the ``k`` largest singular triplets of ``A``.
+
+    Returns ``(U, s, Vh)`` with U (m, k), s (k,) descending, Vh (k, n) and
+    ``A @ Vh.T ~= U * s``.  No reference counterpart (the reference computes
+    the full set of singular values only).
+
+    Runs the flagship two-stage reduction + full-spectrum bisection (those
+    cost the same regardless of ``k`` — the reduction is where the FLOPs
+    are), but inverse iteration, the polar polish, the chase back-transform,
+    and the final Stage-I GEMMs all run on ``k`` lanes, so the
+    vectors-dominated tail of the pipeline shrinks by ~n/k.
+    """
+    m, n = A.shape
+    k = int(k)
+    if not 1 <= k <= min(m, n):
+        raise ValueError(f"k={k} out of range for shape {A.shape}")
+    if m != n:
+        if m < n:
+            U, s, Vh = svds(A.T, k, band=band)
+            return Vh.T, s, U.T
+        Q, R = jnp.linalg.qr(A, mode="reduced")  # (m, n), (n, n)
+        Ur, s, Vh = svds(R, k, band=band)
+        return pdot(Q, Ur), s, Vh
+    return svd_two_stage(A, band=band, k=k)

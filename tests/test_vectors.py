@@ -219,3 +219,58 @@ def test_chase_apply_wy_matches_rank1(rng, n, b):
         want = np.asarray(_apply_chase_reflectors(V, T, M, b, reverse=True))
         got = np.asarray(_apply_chase_reflectors_wy(V, T, M, b))
         np.testing.assert_allclose(got, want, atol=1e-12 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("n,k", [(96, 8), (128, 1)])
+def test_svds_topk(rng, n, k):
+    from svdsolver_tpu.models.vectors import svds
+
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    U, s, Vh = svds(A, k)
+    U, s, Vh = np.asarray(U), np.asarray(s), np.asarray(Vh)
+    assert U.shape == (n, k) and s.shape == (k,) and Vh.shape == (k, n)
+    want = np.linalg.svd(np.asarray(A, np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, want[:k], rtol=2e-5, atol=1e-5 * want[0])
+    # triplet residual + factor orthogonality
+    res = np.abs(np.asarray(A) @ Vh.T - U * s[None, :]).max()
+    assert res / want[0] < 3e-5
+    np.testing.assert_allclose(U.T @ U, np.eye(k), atol=2e-5)
+    np.testing.assert_allclose(Vh @ Vh.T, np.eye(k), atol=2e-5)
+
+
+def test_svds_rectangular(rng):
+    from svdsolver_tpu.models.vectors import svds
+
+    k = 6
+    for shape in [(120, 72), (72, 120)]:
+        A = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        U, s, Vh = svds(A, k)
+        U, s, Vh = np.asarray(U), np.asarray(s), np.asarray(Vh)
+        assert U.shape == (shape[0], k) and Vh.shape == (k, shape[1])
+        want = np.linalg.svd(np.asarray(A, np.float64), compute_uv=False)
+        np.testing.assert_allclose(s, want[:k], rtol=2e-5, atol=1e-5 * want[0])
+        res = np.abs(np.asarray(A) @ Vh.T - U * s[None, :]).max()
+        assert res / want[0] < 3e-5
+
+
+def test_svds_clustered_top(rng):
+    """Top-k whose boundary lands inside a cluster of equal sigma."""
+    from svdsolver_tpu.models.vectors import svds
+
+    n = 64
+    Q1, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    Q2, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    sig = np.linspace(3.0, 1.0, n)
+    sig[4:10] = 2.0  # 6-fold multiplet straddling the k=7 boundary
+    sig.sort()
+    sig = sig[::-1]
+    A = jnp.asarray((Q1 * sig[None, :]) @ Q2.T, dtype=jnp.float32)
+    U, s, Vh = svds(A, 7)
+    U, s, Vh = np.asarray(U), np.asarray(s), np.asarray(Vh)
+    np.testing.assert_allclose(s, sig[:7], rtol=2e-5, atol=1e-5 * sig[0])
+    # inside a multiplet individual vectors are not unique, but each triplet
+    # must still satisfy A v = s u with orthonormal selected columns
+    res = np.abs(np.asarray(A) @ Vh.T - U * s[None, :]).max()
+    assert res / sig[0] < 5e-5
+    np.testing.assert_allclose(U.T @ U, np.eye(7), atol=5e-5)
+    np.testing.assert_allclose(Vh @ Vh.T, np.eye(7), atol=5e-5)
