@@ -37,7 +37,7 @@ from svdsolver_tpu.models.diagonalize import (
     convergence_threshold,
 )
 from svdsolver_tpu.models.svd import svdvals, svdvals_batch, Bidiagonal
-from svdsolver_tpu.models.vectors import svd, svds, bidiagonal_svd
+from svdsolver_tpu.models.vectors import svd, svds, svd_batch, bidiagonal_svd
 from svdsolver_tpu.linalg import pinv, lstsq, matrix_rank, cond, norm2, lowrank
 
 __version__ = "0.1.0"
@@ -62,6 +62,7 @@ __all__ = [
     "svdvals_batch",
     "svd",
     "svds",
+    "svd_batch",
     "bidiagonal_svd",
     "Bidiagonal",
     "pinv",

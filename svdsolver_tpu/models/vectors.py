@@ -697,3 +697,47 @@ def svds(A, k, band=None):
         Ur, s, Vh = svds(R, k, band=band)
         return pdot(Q, Ur), s, Vh
     return svd_two_stage(A, band=band, k=k)
+
+
+def svd_batch(As, block=None):
+    """Full SVD of a batch of square matrices:
+    (B, n, n) -> (U (B, n, n), s (B, n) descending, Vh (B, n, n)).
+
+    Single-device batched execution of the two-stage pipeline under
+    ``jax.vmap`` — the XLA (non-Pallas) kernel set, whose per-op dispatch
+    cost is amortized across the batch; the Pallas kernels are
+    single-instance and stay on the unbatched :func:`svd` path.  Batched
+    counterpart of :func:`svdsolver_tpu.models.svd.svdvals_batch`; for
+    multi-chip sharded batches see ``parallel.distributed``.
+    """
+    from svdsolver_tpu.models.svd import _auto_block, _pad_to_multiple
+    from svdsolver_tpu.models.two_stage import (
+        dense_to_band_uv,
+        band_to_bidiagonal_accum,
+    )
+
+    if As.ndim != 3 or As.shape[-1] != As.shape[-2]:
+        raise ValueError(f"svd_batch expects (B, n, n), got {As.shape}")
+    n = As.shape[-1]
+    b = int(block) if block else _auto_block(n)
+    while b >= n and b > 2:
+        b //= 2
+
+    def one(A):
+        Ap, _ = _pad_to_multiple(A, b)
+        Ab, U1, V1 = dense_to_band_uv(Ap, band=b)
+        d, e, VL, TL, VR, TR = band_to_bidiagonal_accum(Ab, band=b)
+        np_ = Ab.shape[0]
+        s_used = max(0, -(-(np_ - (2 * (b + 1) - 1)) // b)) + 2
+        if s_used < VL.shape[1]:
+            VL, TL = VL[:, :s_used], TL[:, :s_used]
+            VR, TR = VR[:, :s_used], TR[:, :s_used]
+        sig = bisect_svdvals(d, e)
+        U_b, V_b = tgk_vectors(d, e, sig)
+        LU = _apply_chase_reflectors_wy(VL, TL, U_b, b)
+        RV = _apply_chase_reflectors_wy(VR, TR, V_b, b)
+        U = pdot(U1, LU)
+        V = pdot(V1, RV)
+        return U[:n, :n], sig[:n], V[:n, :n].T
+
+    return jax.vmap(one)(As)

@@ -274,3 +274,20 @@ def test_svds_clustered_top(rng):
     assert res / sig[0] < 5e-5
     np.testing.assert_allclose(U.T @ U, np.eye(7), atol=5e-5)
     np.testing.assert_allclose(Vh @ Vh.T, np.eye(7), atol=5e-5)
+
+
+def test_svd_batch(rng):
+    from svdsolver_tpu.models.vectors import svd_batch
+
+    B, n = 3, 64
+    As = jnp.asarray(rng.normal(size=(B, n, n)).astype(np.float32))
+    U, s, Vh = svd_batch(As)
+    assert U.shape == (B, n, n) and s.shape == (B, n) and Vh.shape == (B, n, n)
+    for i in range(B):
+        An = np.asarray(As[i])
+        want = np.linalg.svd(np.asarray(An, np.float64), compute_uv=False)
+        np.testing.assert_allclose(
+            np.asarray(s[i]), want, rtol=2e-5, atol=1e-5 * want[0]
+        )
+        rec = np.asarray(U[i]) @ np.diag(np.asarray(s[i])) @ np.asarray(Vh[i])
+        np.testing.assert_allclose(rec, An, atol=3e-5 * want[0])
