@@ -34,6 +34,7 @@ from svdsolver_tpu.models.diagonalize import (
     diag_reduce_fixed_iter,
     bidiagonal_svdvals,
     bisect_svdvals,
+    dqds_svdvals,
     convergence_threshold,
 )
 from svdsolver_tpu.models.svd import svdvals, svdvals_batch, Bidiagonal
@@ -57,6 +58,7 @@ __all__ = [
     "diag_reduce_fixed_iter",
     "bidiagonal_svdvals",
     "bisect_svdvals",
+    "dqds_svdvals",
     "convergence_threshold",
     "svdvals",
     "svdvals_batch",

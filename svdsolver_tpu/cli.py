@@ -231,6 +231,38 @@ def cmd_svdvals(args):
     return 0
 
 
+def cmd_svd(args):
+    _ensure_x64(args)
+    from svdsolver_tpu.models.vectors import svd, svds
+    from svdsolver_tpu.utils.fixtures import read_matrix
+
+    dtype = np.float64 if args.dtype == "double" else np.float32
+    A = read_matrix(args.path, args.n, args.n, dtype)
+    Aj = jnp.asarray(A)
+    if args.k:
+        U, s, Vh = svds(Aj, args.k)
+    else:
+        U, s, Vh = svd(Aj)
+    U, s, Vh = np.asarray(U), np.asarray(s), np.asarray(Vh)
+    # residual report: ||A V - U S|| holds for full AND top-k outputs
+    res = float(
+        np.max(np.abs(A @ Vh.T - U * s[None, :])) / max(float(s[0]), 1e-30)
+    )
+    k = s.shape[0]
+    print(f"computed {k} singular triplet(s); max residual "
+          f"|A v - s u| / sigma_0 = {res:.3e}")
+    if args.output_prefix:
+        U.tofile(args.output_prefix + "_U.bin")
+        s.tofile(args.output_prefix + "_s.bin")
+        Vh.tofile(args.output_prefix + "_Vh.bin")
+        print(f"wrote {args.output_prefix}_{{U,s,Vh}}.bin "
+              f"(shapes {U.shape}, {s.shape}, {Vh.shape})")
+    else:
+        np.set_printoptions(precision=6, suppress=False, threshold=50)
+        print(s)
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="svdsolver_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -272,6 +304,18 @@ def main(argv=None):
     ps.add_argument("--output", default=None,
                     help="write sigma as raw binary instead of printing")
     ps.set_defaults(fn=cmd_svdvals)
+
+    pv = sub.add_parser(
+        "svd", help="full (or top-k) SVD of a raw binary matrix file"
+    )
+    pv.add_argument("path", help="row-major binary matrix (reference format)")
+    pv.add_argument("n", type=int, help="matrix dimension (n x n)")
+    pv.add_argument("-k", type=int, default=None,
+                    help="compute only the top-k singular triplets")
+    pv.add_argument("--dtype", choices=["float", "double"], default="float")
+    pv.add_argument("--output-prefix", default=None,
+                    help="write <prefix>_{U,s,Vh}.bin instead of printing s")
+    pv.set_defaults(fn=cmd_svd)
 
     args = p.parse_args(argv)
     return args.fn(args) or 0

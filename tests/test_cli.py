@@ -91,3 +91,29 @@ def test_check_64_flagship_tpu2():
         pytest.skip("fixtures not present")
     rc = main(["check", "64", "--model", "tpu2"])
     assert rc == 0
+
+
+def test_svd_subcommand(tmp_path):
+    import numpy as np
+    from svdsolver_tpu.utils import fixtures as fx
+
+    rng = np.random.default_rng(4)
+    n = 32
+    A = rng.normal(size=(n, n)).astype(np.float32)
+    p = tmp_path / "a.bin"
+    fx.write_matrix(str(p), A)
+    pre = str(tmp_path / "out")
+    rc = main(["svd", str(p), str(n), "--output-prefix", pre])
+    assert rc == 0
+    U = np.fromfile(pre + "_U.bin", dtype=np.float32).reshape(n, n)
+    s = np.fromfile(pre + "_s.bin", dtype=np.float32)
+    Vh = np.fromfile(pre + "_Vh.bin", dtype=np.float32).reshape(n, n)
+    want = np.linalg.svd(A.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, want, rtol=2e-4, atol=1e-5 * want[0])
+    np.testing.assert_allclose(U @ np.diag(s) @ Vh, A, atol=5e-5 * want[0])
+    # top-k variant
+    rc = main(["svd", str(p), str(n), "-k", "4", "--output-prefix", pre])
+    assert rc == 0
+    s4 = np.fromfile(pre + "_s.bin", dtype=np.float32)
+    assert s4.shape == (4,)
+    np.testing.assert_allclose(s4, want[:4], rtol=2e-4, atol=1e-5 * want[0])
