@@ -92,3 +92,69 @@ def test_fuzz_models_agree(rng):
                 got, want, rtol=1e-7, atol=1e-9 * want[0],
                 err_msg=f"seed={seed} method={method}",
             )
+
+
+def test_svds_and_linalg_edge_cases(rng):
+    import jax.numpy as jnp
+    import numpy as np
+    from svdsolver_tpu import svds, pinv, lstsq, matrix_rank, lowrank
+
+    n = 32
+    # identity: all triplets trivial
+    U, s, Vh = svds(jnp.eye(n, dtype=jnp.float32), 4)
+    np.testing.assert_allclose(np.asarray(s), np.ones(4), atol=1e-5)
+    # rank-one matrix: top triplet exact, k beyond rank returns ~zero sigma
+    u = rng.normal(size=(n, 1)).astype(np.float32)
+    v = rng.normal(size=(1, n)).astype(np.float32)
+    A = jnp.asarray(u @ v)
+    U, s, Vh = svds(A, 3)
+    want0 = np.linalg.norm(u) * np.linalg.norm(v)
+    assert abs(float(s[0]) - want0) / want0 < 1e-4
+    assert float(s[1]) < 1e-4 * want0 and float(s[2]) < 1e-4 * want0
+    assert int(matrix_rank(A, rtol=1e-4)) == 1
+    # pinv of rank-one: A @ pinv(A) @ A == A
+    P = np.asarray(pinv(A, rtol=1e-4))
+    An = np.asarray(A)
+    np.testing.assert_allclose(An @ P @ An, An, atol=2e-3 * np.abs(An).max())
+    # lstsq with inconsistent rhs: minimum-norm least squares
+    x, resid, rank = lstsq(A, jnp.asarray(rng.normal(size=n).astype(np.float32)),
+                           rtol=1e-4)
+    assert int(rank) == 1 and np.isfinite(float(resid))
+    # lowrank of an exactly rank-k matrix reconstructs it
+    r = 5
+    L0 = rng.normal(size=(n, r)).astype(np.float32)
+    R0 = rng.normal(size=(r, n)).astype(np.float32)
+    B = jnp.asarray(L0 @ R0)
+    L, R = lowrank(B, r)
+    np.testing.assert_allclose(
+        np.asarray(L) @ np.asarray(R), np.asarray(B),
+        atol=5e-4 * float(jnp.abs(B).max()),
+    )
+
+
+def test_svd_batch_mixed_spectra(rng):
+    """Batch entries with very different spectra (well-conditioned, clustered,
+    near-singular) must not contaminate each other under vmap."""
+    import jax.numpy as jnp
+    import numpy as np
+    from svdsolver_tpu import svd_batch
+
+    n = 32
+    Q1, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    Q2, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    specs = [
+        np.linspace(2.0, 1.0, n),
+        np.full(n, 1.5),
+        np.concatenate([np.linspace(3, 1, n - 4), np.full(4, 1e-5)]),
+    ]
+    As = np.stack(
+        [(Q1 * sp[None, :]) @ Q2.T for sp in specs]
+    ).astype(np.float32)
+    U, s, Vh = svd_batch(jnp.asarray(As))
+    for i, sp in enumerate(specs):
+        want = np.sort(sp)[::-1]
+        np.testing.assert_allclose(
+            np.asarray(s[i]), want, rtol=2e-4, atol=2e-5 * want[0]
+        )
+        rec = np.asarray(U[i]) @ np.diag(np.asarray(s[i])) @ np.asarray(Vh[i])
+        np.testing.assert_allclose(rec, As[i], atol=5e-5 * want[0])
