@@ -39,6 +39,7 @@ from svdsolver_tpu.models.diagonalize import (
 )
 from svdsolver_tpu.models.svd import svdvals, svdvals_batch, Bidiagonal
 from svdsolver_tpu.models.vectors import svd, svds, svd_batch, bidiagonal_svd
+from svdsolver_tpu.models.jacobi import svd_jacobi, svd_jacobi_batch
 from svdsolver_tpu.linalg import pinv, lstsq, matrix_rank, cond, norm2, lowrank
 
 __version__ = "0.1.0"
@@ -63,6 +64,8 @@ __all__ = [
     "svdvals",
     "svdvals_batch",
     "svd",
+    "svd_jacobi",
+    "svd_jacobi_batch",
     "svds",
     "svd_batch",
     "bidiagonal_svd",

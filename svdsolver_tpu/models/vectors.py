@@ -653,9 +653,15 @@ def svd(A, panel=32, method="tpu2", band=None):
     ``method``: "tpu2"/"multicore"/"tpu1" run the two-stage pipeline with
     chase-reflector back-transformation (:func:`svd_two_stage` — the fast
     path at scale); "singlecore" runs the one-stage blocked reduction with
-    accumulated factors.
+    accumulated factors; "jacobi" runs one-sided block Jacobi
+    (:func:`~svdsolver_tpu.models.jacobi.svd_jacobi` — high RELATIVE
+    accuracy on graded matrices, all-GEMM compute shape).
     """
     m, n = A.shape
+    if method == "jacobi":
+        from svdsolver_tpu.models.jacobi import svd_jacobi
+
+        return svd_jacobi(A)
     if m != n:
         if m < n:
             U, s, Vh = svd(A.T, panel=panel, method=method, band=band)
