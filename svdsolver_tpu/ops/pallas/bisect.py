@@ -1,8 +1,8 @@
-"""Pallas kernel: bidiagonal singular values by parallel bisection.
+"""Pallas kernel: bidiagonal singular values by parallel multisection.
 
 Same algorithm as models/diagonalize.py:bisect_svdvals (Sturm pivot counts
-on the Golub-Kahan tridiagonal, all n values bisected simultaneously), with
-two TPU-specific accelerations:
+on the Golub-Kahan tridiagonal, all n values bracketed simultaneously), with
+three TPU-specific accelerations:
 
 * shift lanes live in an (8, W) buffer so every VPU sublane is busy (a
   (1, n) layout uses 1/8 of the vector unit);
@@ -12,7 +12,17 @@ two TPU-specific accelerations:
   loop iteration (independent chains, so the two divide latencies overlap)
   and meet at the twist index m = n+1, where Sylvester inertia gives
   ``negcount = #neg(p) + #neg(q) + (gamma < 0)`` with
-  ``gamma = p_m + q_m + lam``.  Sequential depth halves: n steps, not 2n.
+  ``gamma = p_m + q_m + lam``.  Sequential depth halves: n steps, not 2n;
+* **multisection** (``probes=k``): each bracket probes k equispaced interior
+  points per sweep (probe-major (8, k*W) state; the z-stream loads/rolls are
+  shared across probes), gaining log2(k+1) bits per sweep instead of 1.
+  Measured on v5e: a LOSS at every size — per-sweep cost grows ~linearly
+  with k (n=3200: k=1 8.6 ms, k=3 9.9, k=7 13.0 at equal total bits), i.e.
+  the chain is VPU *issue*-bound (~8 ops x 4-8 vregs/step ~ 65 cycles),
+  not divide-latency-bound, so extra probe lanes cannot ride a latency
+  shadow (a (k, 8, W) leading-dim layout is 2-3x worse still).  Default
+  stays ``probes=1``; the parameter remains for re-testing on future
+  hardware where divides stall the issue pipe.
 
 The recurrences need one z^2 scalar per step; dynamic scalar indexing is
 not tile-aligned on TPU, so each 128-wide block is sliced once and 8
@@ -31,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _bisect_kernel(n, iters, z2f_ref, z2r_ref, bound_ref, out_ref):
+def _bisect_kernel(n, iters, k, z2f_ref, z2r_ref, bound_ref, out_ref):
     dtype = out_ref.dtype
     rows, W = out_ref.shape  # shift lanes as (8, W): all 8 VPU sublanes busy
     zero = jnp.zeros((), dtype)
@@ -41,6 +51,18 @@ def _bisect_kernel(n, iters, z2f_ref, z2r_ref, bound_ref, out_ref):
         + lax.broadcasted_iota(jnp.int32, (rows, W), 1)
     )
     lane_ok = ks < n
+    # Probe-major 2D state (8, k*W): probe j of value (r, c) lives at lane
+    # j*W + c — the chain stays pure (8, k*W) vreg arithmetic (a (k, 8, W)
+    # leading-dim layout measured 2-3x slower: Mosaic does not pipeline the
+    # per-probe minor ops under the divide latency the way wide lanes do).
+    kW = k * W
+    jp1 = (
+        lax.broadcasted_iota(jnp.int32, (rows, kW), 1) // W
+    ).astype(dtype) + 1.0
+    ksk = (
+        lax.broadcasted_iota(jnp.int32, (rows, kW), 0) * W
+        + lax.broadcasted_iota(jnp.int32, (rows, kW), 1) % W
+    )
 
     lo0 = jnp.zeros((rows, W), dtype)
     hi0 = jnp.full((rows, W), bound, dtype)
@@ -56,7 +78,10 @@ def _bisect_kernel(n, iters, z2f_ref, z2r_ref, bound_ref, out_ref):
 
     def biter(_, lohi):
         lo, hi = lohi
-        lam = 0.5 * (lo + hi)
+        h = (hi - lo) / (k + 1)
+        lo_t = jnp.concatenate([lo] * k, axis=1) if k > 1 else lo
+        h_t = jnp.concatenate([h] * k, axis=1) if k > 1 else h
+        lam = lo_t + jp1 * h_t  # (8, k*W), lam ascends with probe index j
         p0 = -lam  # p_1
         cnt0 = (p0 < 0).astype(jnp.int32)
 
@@ -112,9 +137,17 @@ def _bisect_kernel(n, iters, z2f_ref, z2r_ref, bound_ref, out_ref):
         gamma = p + q + lam  # twist pivot at m = n+1 (zero TGK diagonal)
         # p_{n+1}, q_{n+1} were counted in the loop but belong to the twist:
         cnt = cnt - (p < 0) - (q < 0) + (gamma < 0)
-        above = (cnt - n) > ks
-        lo = jnp.where(above, lo, lam)
-        hi = jnp.where(above, lam, hi)
+        # above_j: sigma_i < lam_j.  lam ascends in j, so the number of
+        # probes BELOW sigma picks the surviving subinterval
+        # (lam_{na-1}, lam_na] with lam_{-1}=lo, lam_k=hi.
+        below = ((cnt - n) <= ksk).astype(dtype)  # (8, k*W)
+        na = below[:, :W]
+        for j in range(1, k):  # static W-strided segment-sum over probes
+            na = na + below[:, j * W : (j + 1) * W]
+        lo = lo + na * h  # na in [0, k]
+        # keep the untouched endpoint EXACT: lo + (k+1)*h != hi in fp, and a
+        # low hi' could push sigma outside the bracket by an ulp per sweep
+        hi = jnp.where(na >= k, hi, lo + h)
         return lo, hi
 
     # int32 bounds: Pallas cannot lower the int64 indices x64 mode produces
@@ -122,25 +155,30 @@ def _bisect_kernel(n, iters, z2f_ref, z2r_ref, bound_ref, out_ref):
     out_ref[:] = jnp.where(lane_ok, 0.5 * (lo + hi), zero)
 
 
-def bisect_svdvals_pallas(d, e, iters=None):
+def bisect_svdvals_pallas(d, e, iters=None, probes=1):
     # x64 mode sends the trace into an int-promotion recursion inside Mosaic
     # lowering; the kernel is 32-bit only, so trace it with x64 off.
     with jax.enable_x64(False):
-        return _bisect_svdvals_pallas(d, e, iters=iters)
+        return _bisect_svdvals_pallas(d, e, iters=iters, probes=probes)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def _bisect_svdvals_pallas(d, e, iters=None):
+@functools.partial(jax.jit, static_argnames=("iters", "probes"))
+def _bisect_svdvals_pallas(d, e, iters=None, probes=1):
     """Singular values of the bidiagonal {d, e}, descending; fp32 Pallas path.
 
-    Differential-tested against models/diagonalize.py:bisect_svdvals.
+    ``probes`` is the multisection fan-out (probes per bracket per sweep);
+    ``iters`` the sweep count (default: enough for eps-plus-12-bit absolute
+    resolution of the Gershgorin bound, i.e. ceil(36 / log2(probes+1)) in
+    fp32).  Differential-tested against models/diagonalize.py:bisect_svdvals.
     """
     n = d.shape[0]
     dtype = d.dtype
     if n == 1:
         return jnp.abs(d)
+    probes = int(probes)
     if iters is None:
-        iters = int(np.ceil(-np.log2(np.finfo(dtype).eps))) + 12
+        bits = int(np.ceil(-np.log2(np.finfo(dtype).eps))) + 12
+        iters = int(np.ceil(bits / np.log2(probes + 1)))
     n2 = 2 * n
     # TGK off-diagonals (d1, e1, d2, e2, ..., d_n), squared, tiny-guarded.
     z = jnp.zeros((n2 - 1,), dtype).at[0::2].set(d).at[1::2].set(e)
@@ -162,7 +200,7 @@ def _bisect_svdvals_pallas(d, e, iters=None):
     W = -(-n // (8 * 128)) * 128  # lane width: (8, W) fills every sublane
 
     out = pl.pallas_call(
-        functools.partial(_bisect_kernel, n, int(iters)),
+        functools.partial(_bisect_kernel, n, int(iters), probes),
         out_shape=jax.ShapeDtypeStruct((8, W), dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
