@@ -298,11 +298,18 @@ def _svd_jacobi_square(A, b, max_sweeps, tol, eps_eff):
     init = (W, V, big, big, jnp.zeros((), jnp.int32))
     W, V, off, _, sweeps = lax.while_loop(sweep_cond, sweep_body, init)
 
+    U, s, Vh = _finalize(W, V, n, flip, eps_eff)
+    return U, s, Vh, sweeps
+
+
+def _finalize(W, V, n, flip, eps_eff):
+    """Sort by descending column norm, normalize, zero dead vectors, and
+    undo the grading flip: (W, V) with W ~= A_pad V -> (U, s, Vh)."""
     s_all = jnp.linalg.norm(W, axis=0)
     order = jnp.argsort(-s_all)[:n]
     s = s_all[order]
     L = jnp.take(W, order, axis=1)[:n] / jnp.maximum(
-        s, jnp.finfo(A.dtype).tiny
+        s, jnp.finfo(W.dtype).tiny
     )
     R = jnp.take(V[:n], order, axis=1)
     # zero out vectors of numerically-zero sigma instead of returning noise
@@ -313,7 +320,7 @@ def _svd_jacobi_square(A, b, max_sweeps, tol, eps_eff):
     R = jnp.where(dead[None, :], 0.0, R)
     U = jnp.where(flip, R, L)
     Vc = jnp.where(flip, L, R)
-    return U, s, Vc.T, sweeps
+    return U, s, Vc.T
 
 
 def svd_jacobi(A, block=64, max_sweeps=30, tol=None):

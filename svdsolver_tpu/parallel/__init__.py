@@ -17,8 +17,10 @@ from svdsolver_tpu.parallel.distributed import (
     dense_to_band_shardmap,
     dryrun,
 )
+from svdsolver_tpu.parallel.jacobi import svd_jacobi_sharded
 
 __all__ = [
+    "svd_jacobi_sharded",
     "make_mesh",
     "svdvals_batch_sharded",
     "svdvals_batch_sharded_gspmd",

@@ -128,3 +128,51 @@ def test_batch_sharded_never_replicates_A(cpu_mesh):
     ]
     assert len(full_gathers) == 1, full_gathers  # exactly the band gather
     assert "all-reduce" in txt  # the hand-placed psums survived compilation
+
+
+def test_svd_jacobi_sharded(cpu_mesh, rng):
+    # multi-chip block Jacobi: two column blocks per tp device, neighbor
+    # ppermute tournament exchange, pmax convergence coupling
+    from svdsolver_tpu.parallel.jacobi import svd_jacobi_sharded
+
+    n = 64
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    U, s, Vh = (np.asarray(x) for x in svd_jacobi_sharded(A, cpu_mesh))
+    An = np.asarray(A)
+    ref = np.linalg.svd(An.astype(np.float64), compute_uv=False)
+    assert np.max(np.abs(s - ref)) / ref[0] < 1e-4
+    assert np.abs(U.T @ U - np.eye(n)).max() < 1e-4
+    assert np.abs(Vh @ Vh.T - np.eye(n)).max() < 1e-4
+    assert np.abs(U @ np.diag(s) @ Vh - An).max() / np.abs(An).max() < 1e-4
+
+
+def test_svd_jacobi_sharded_graded_relative(cpu_mesh, rng):
+    # the Jacobi accuracy class survives distribution: RELATIVE sigma error
+    # stays ~fp32-eps across 6 decades of column grading
+    from svdsolver_tpu.parallel.jacobi import svd_jacobi_sharded
+
+    n = 64
+    B = jnp.asarray(
+        (rng.normal(size=(n, n)) @ np.diag(np.logspace(0, -6, n))).astype(
+            np.float32
+        )
+    )
+    U, s, Vh = (np.asarray(x) for x in svd_jacobi_sharded(B, cpu_mesh))
+    ref = np.linalg.svd(np.asarray(B, np.float64), compute_uv=False)
+    assert np.max(np.abs(s - ref) / ref) < 1e-3  # relative, every decade
+    Bn = np.asarray(B)
+    assert np.abs(U @ np.diag(s) @ Vh - Bn).max() / np.abs(Bn).max() < 1e-4
+
+
+def test_svd_jacobi_sharded_nonsquare_pad(cpu_mesh, rng):
+    # n not divisible by 2*tp: zero-pad columns are dead and masked out
+    from svdsolver_tpu.parallel.jacobi import svd_jacobi_sharded
+
+    n = 52  # 2*tp = 8 does not divide 52 -> pads to 56
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    U, s, Vh = (np.asarray(x) for x in svd_jacobi_sharded(A, cpu_mesh))
+    An = np.asarray(A)
+    ref = np.linalg.svd(An.astype(np.float64), compute_uv=False)
+    assert s.shape == (n,) and U.shape == (n, n) and Vh.shape == (n, n)
+    assert np.max(np.abs(s - ref)) / ref[0] < 1e-4
+    assert np.abs(U @ np.diag(s) @ Vh - An).max() / np.abs(An).max() < 1e-4
