@@ -53,6 +53,12 @@ solver runs on whichever of A / A' has the smaller row-norm spread
 (LAPACK's dgejsv applies the same heuristic) — chosen with elementwise
 ``where`` so the whole solve stays jittable.
 
+Measured positioning (v5e, fp32, PERF_NOTES session-9): the two-stage
+pipeline wins wall-clock at every size, single and batched (e.g. 0.096 s
+vs 5.2 s at 2048^2) — use Jacobi when the ACCURACY CLASS matters (graded /
+ill-scaled spectra need relative sigma error) or for the multi-chip
+tournament (parallel/jacobi.py), not for speed on one chip.
+
 Rank-deficiency note: singular vectors attached to sigma ~= 0 are returned
 as zero columns (W's null columns carry no direction information); the
 reconstruction ``U @ diag(s) @ Vh ~= A`` always holds, but U/V are only
