@@ -40,7 +40,18 @@ from svdsolver_tpu.models.diagonalize import (
 from svdsolver_tpu.models.svd import svdvals, svdvals_batch, Bidiagonal
 from svdsolver_tpu.models.vectors import svd, svds, svd_batch, bidiagonal_svd
 from svdsolver_tpu.models.jacobi import svd_jacobi, svd_jacobi_batch
-from svdsolver_tpu.linalg import pinv, lstsq, matrix_rank, cond, norm2, lowrank
+from svdsolver_tpu.linalg import (
+    pinv,
+    lstsq,
+    matrix_rank,
+    cond,
+    norm2,
+    lowrank,
+    polar,
+    eigh,
+    orth,
+    null_space,
+)
 
 __version__ = "0.1.0"
 
@@ -76,4 +87,8 @@ __all__ = [
     "cond",
     "norm2",
     "lowrank",
+    "polar",
+    "eigh",
+    "orth",
+    "null_space",
 ]

@@ -101,3 +101,88 @@ def lowrank(A, k, band=None):
     """
     U, s, Vh = svds(A, k, band=band)
     return U * s[None, :], Vh
+
+
+def polar(A, side="right", method="tpu2"):
+    """Polar decomposition via the SVD (scipy.linalg.polar convention).
+
+    ``side="right"``: ``A = W @ P`` with W orthonormal (m, n) and P (n, n)
+    symmetric positive semi-definite; ``side="left"``: ``A = P @ W`` with
+    P (m, m).  W is the nearest orthogonal matrix to A in Frobenius norm
+    (the orthogonal Procrustes solution).
+    """
+    if side not in ("right", "left"):
+        raise ValueError(f"side must be 'right' or 'left', got {side!r}")
+    U, s, Vh = svd(A, method=method)
+    W = pdot(U, Vh)
+    if side == "right":
+        P = pdot(Vh.T * s[None, :], Vh)
+    else:
+        P = pdot(U * s[None, :], U.T)
+    return W, P
+
+
+def eigh(A, method="tpu2"):
+    """Eigendecomposition of a symmetric matrix via the SVD.
+
+    Returns ``(w, V)`` with eigenvalues ``w`` ascending and ``A @ V ~=
+    V @ diag(w)`` (numpy.linalg.eigh convention).  Method: shift to
+    positive definite (``B = A + c I`` with ``c > ||A||_2``, so B's SVD *is*
+    its eigendecomposition and no sign recovery is needed even for paired
+    ``+/-lambda`` spectra), run the two-stage SVD, shift back.  Absolute
+    accuracy ~eps * ||A||, the same class as a direct symmetric solver.
+    """
+    m, n = A.shape
+    if m != n:
+        raise ValueError(f"eigh expects a square symmetric matrix, got {A.shape}")
+    A = 0.5 * (A + A.T)  # enforce exact symmetry of the compute input
+    c = 1.25 * norm2(A) + jnp.finfo(A.dtype).tiny
+    B = A + c * jnp.eye(n, dtype=A.dtype)
+    U, s, _ = svd(B, method=method)
+    w = (s - c)[::-1]
+    return w, U[:, ::-1]
+
+
+def orth(A, rtol=None):
+    """Orthonormal basis of the range of ``A``: (m, rank) columns.
+
+    The numerical rank is pulled to the host (the result shape depends on
+    it), so this is an eager convenience like ``scipy.linalg.orth`` — not
+    jittable.
+    """
+    if rtol is None:
+        rtol = _default_rtol(A)
+    U, s, _ = svd(A)
+    r = int(jnp.sum(s > rtol * s[0]))
+    return U[:, :r]
+
+
+def null_space(A, rtol=None):
+    """Orthonormal basis of the null space of ``A``: (n, n - rank) columns.
+
+    Eager like :func:`orth` (the result shape depends on the numerical
+    rank).
+    """
+    if rtol is None:
+        rtol = _default_rtol(A)
+    m, n = A.shape
+    if m < n:
+        # thin Vh of a wide matrix only spans the row space; zero rows do
+        # not change the null space but make Vh a full (n, n) basis
+        A = jnp.concatenate([A, jnp.zeros((n - m, n), A.dtype)], axis=0)
+    _, s, Vh = svd(A)
+    r = int(jnp.sum(s > rtol * s[0]))
+    N = Vh[r:].T
+    if r == 0 or N.shape[1] == 0:
+        return N
+    # Wide zero-sigma clusters come back full-rank but ill-conditioned from
+    # the TGK solver (inverse iteration cannot separate a degenerate
+    # multiplet; see models/vectors.py cluster notes).  The leading r rows
+    # of Vh ARE accurate (their sigma are above the cutoff), so project the
+    # row space out explicitly — two passes, classic twice-is-enough — and
+    # re-orthonormalize what remains.
+    Vr = Vh[:r].T
+    for _ in range(2):
+        N = N - pdot(Vr, pdot(Vr.T, N))
+    Q, _ = jnp.linalg.qr(N)
+    return Q

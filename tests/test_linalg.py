@@ -73,3 +73,57 @@ def test_lowrank_eckart_young(rng):
     err = np.linalg.norm(np.asarray(L) @ np.asarray(R) - np.asarray(A))
     best = np.sqrt(np.sum(want[k:] ** 2))
     assert err <= best * (1 + 1e-3) + 1e-4 * want[0]
+
+
+def test_polar_right_left(rng):
+    from svdsolver_tpu.linalg import polar
+
+    A = jnp.asarray(rng.normal(size=(48, 32)).astype(np.float32))
+    W, P = polar(A)
+    An = np.asarray(A)
+    Wn, Pn = np.asarray(W), np.asarray(P)
+    assert np.abs(Wn.T @ Wn - np.eye(32)).max() < 1e-4
+    assert np.abs(Pn - Pn.T).max() < 1e-4
+    assert np.min(np.linalg.eigvalsh(Pn.astype(np.float64))) > -1e-3
+    assert np.abs(Wn @ Pn - An).max() / np.abs(An).max() < 1e-4
+    Wl, Pl = polar(A, side="left")
+    assert np.abs(np.asarray(Pl) @ np.asarray(Wl) - An).max() / np.abs(An).max() < 1e-4
+
+
+def test_eigh_symmetric_indefinite(rng):
+    from svdsolver_tpu.linalg import eigh
+
+    n = 64
+    M = rng.normal(size=(n, n))
+    A = jnp.asarray((M + M.T).astype(np.float32))  # indefinite spectrum
+    w, V = eigh(A)
+    wn, Vn = np.asarray(w), np.asarray(V)
+    An = np.asarray(A)
+    ref = np.linalg.eigvalsh(An.astype(np.float64))
+    assert np.all(np.diff(wn) >= -1e-3)  # ascending
+    assert np.max(np.abs(np.sort(wn) - ref)) / np.abs(ref).max() < 1e-4
+    assert np.abs(An @ Vn - Vn * wn[None, :]).max() / np.abs(ref).max() < 1e-3
+    assert np.abs(Vn.T @ Vn - np.eye(n)).max() < 1e-3
+
+
+def test_orth_null_space(rng):
+    from svdsolver_tpu.linalg import orth, null_space
+
+    # rank-deficient tall: 40x24 of rank 16
+    B = rng.normal(size=(40, 16)) @ rng.normal(size=(16, 24))
+    A = jnp.asarray(B.astype(np.float32))
+    Q = np.asarray(orth(A))
+    assert Q.shape == (40, 16)
+    assert np.abs(Q.T @ Q - np.eye(16)).max() < 1e-4
+    # range check: projecting A onto Q changes nothing
+    assert np.abs(Q @ (Q.T @ np.asarray(A)) - np.asarray(A)).max() < 1e-3
+    N = np.asarray(null_space(A))
+    assert N.shape == (24, 8)
+    assert np.abs(np.asarray(A) @ N).max() < 1e-3
+    assert np.abs(N.T @ N - np.eye(8)).max() < 1e-4
+    # wide input: null space needs the padded full basis
+    Aw = jnp.asarray(rng.normal(size=(16, 40)).astype(np.float32))
+    Nw = np.asarray(null_space(Aw))
+    assert Nw.shape == (40, 24)
+    assert np.abs(np.asarray(Aw) @ Nw).max() < 1e-3
+    assert np.abs(Nw.T @ Nw - np.eye(24)).max() < 1e-4
