@@ -4,7 +4,8 @@ Benchmark mode (reference: svd_cpu.cpp:114-297, svd_cuda_2.cu:1357-1431):
 
     python -m svdsolver_tpu bench MODEL step n_steps n_instances [block]
 
-with MODEL in {base, singlecore, multicore, diagonal, tpu1, tpu2}.  Sweeps
+with MODEL in {base, singlecore, multicore, diagonal, tpu1, tpu2, jacobi}
+(jacobi: full-SVD one-sided block Jacobi — no reference counterpart).  Sweeps
 matrix sizes N = k*step for k = 1..n_steps-1 over ``n_instances`` random
 uniform [0, 5] matrices per size (reference generators: svd_cpu.cpp:50-90),
 prints mean seconds per instance, and writes ``data/<model>_benchmark.csv``
@@ -99,6 +100,11 @@ def cmd_bench(args):
             elif model == "singlecore":
                 t1 = benchmark(lambda A: bidiagonalize_blocked(A, panel=args.block), data)
                 print(f"\tN = {n} : {t1:g} sec (dense -> bidiagonal)")
+            elif model == "jacobi":
+                from svdsolver_tpu.models.jacobi import svd_jacobi
+
+                t1 = benchmark(lambda A: svd_jacobi(A)[1], data)
+                print(f"\tN = {n} : {t1:g} sec (full SVD, block Jacobi)")
             elif model in ("multicore", "tpu1", "tpu2"):
                 pad = (-n) % args.block
                 if pad:  # reference requires divisibility (README.md:45); pad instead
@@ -269,7 +275,8 @@ def main(argv=None):
 
     pb = sub.add_parser("bench", help="benchmark sweep (reference CLI parity)")
     pb.add_argument("model", choices=[
-        "base", "singlecore", "multicore", "diagonal", "tpu1", "tpu2"])
+        "base", "singlecore", "multicore", "diagonal", "tpu1", "tpu2",
+        "jacobi"])
     pb.add_argument("step", type=int)
     pb.add_argument("n_steps", type=int)
     pb.add_argument("n_instances", type=int)
