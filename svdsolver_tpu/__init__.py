@@ -47,6 +47,7 @@ from svdsolver_tpu.linalg import (
     cond,
     norm2,
     lowrank,
+    rsvd,
     polar,
     eigh,
     orth,
@@ -87,6 +88,7 @@ __all__ = [
     "cond",
     "norm2",
     "lowrank",
+    "rsvd",
     "polar",
     "eigh",
     "orth",

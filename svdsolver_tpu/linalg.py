@@ -103,6 +103,39 @@ def lowrank(A, k, band=None):
     return U * s[None, :], Vh
 
 
+def rsvd(A, k, oversample=8, power_iters=2, key=None):
+    """Randomized truncated SVD (Halko-Martinsson-Tropp): rank-``k`` factors
+    of ``A`` at O(m n (k+p)) cost — all GEMMs plus one tiny exact SVD.
+
+    Returns ``(U, s, Vh)`` with U (m, k), s (k,) descending, Vh (k, n).
+    ``power_iters`` subspace-iteration passes (with QR re-orthonormalization)
+    sharpen the range capture for slowly decaying spectra; accuracy is the
+    usual ``sigma_{k+1}``-dominated randomized bound, so use :func:`svds`
+    when exact top-k triplets are required.  Everything except the final
+    (k+p)-sized exact SVD is an MXU GEMM, so this is the fastest path for
+    k << n on one chip and the natural sketch for very large inputs.
+    """
+    import jax
+
+    m, n = A.shape
+    k = int(k)
+    if not 1 <= k <= min(m, n):
+        raise ValueError(f"k={k} out of range for shape {A.shape}")
+    p = int(min(oversample + k, min(m, n)))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    Om = jax.random.normal(key, (n, p), A.dtype)
+    Y = pdot(A, Om)
+    Q, _ = jnp.linalg.qr(Y)
+    for _ in range(int(power_iters)):
+        Z, _ = jnp.linalg.qr(pdot(A.T, Q))
+        Q, _ = jnp.linalg.qr(pdot(A, Z))
+    B = pdot(Q.T, A)  # (p, n) sketch
+    Ub, s, Vh = svd(B.T)  # tall (n, p): exact small SVD via the pipeline
+    U = pdot(Q, Vh.T)
+    return U[:, :k], s[:k], Ub.T[:k, :]
+
+
 def polar(A, side="right", method="tpu2"):
     """Polar decomposition via the SVD (scipy.linalg.polar convention).
 

@@ -127,3 +127,25 @@ def test_orth_null_space(rng):
     assert Nw.shape == (40, 24)
     assert np.abs(np.asarray(Aw) @ Nw).max() < 1e-3
     assert np.abs(Nw.T @ Nw - np.eye(24)).max() < 1e-4
+
+
+def test_rsvd(rng):
+    from svdsolver_tpu.linalg import rsvd
+
+    # fast-decaying spectrum: rsvd captures the top-k triplets accurately
+    m, n, k = 96, 64, 8
+    U0, _ = np.linalg.qr(rng.normal(size=(m, n)))
+    V0, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    s0 = np.power(10.0, -np.arange(n, dtype=np.float64) / 4)
+    A = jnp.asarray((U0 * s0[None, :] @ V0.T).astype(np.float32))
+    U, s, Vh = (np.asarray(x) for x in rsvd(A, k))
+    assert U.shape == (m, k) and s.shape == (k,) and Vh.shape == (k, n)
+    assert np.max(np.abs(s - s0[:k]) / s0[:k]) < 1e-3
+    assert np.abs(U.T @ U - np.eye(k)).max() < 1e-3
+    An = np.asarray(A)
+    # rank-k reconstruction error ~ sigma_{k+1}
+    err = np.linalg.norm(U * s[None, :] @ Vh - An, 2)
+    assert err < 3 * s0[k]
+    # tiny k exercises the small-sketch exact-SVD tail
+    U2, s2, _ = (np.asarray(x) for x in rsvd(A, 4))
+    assert np.max(np.abs(s2 - s0[:4]) / s0[:4]) < 1e-3
