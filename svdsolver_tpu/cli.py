@@ -103,7 +103,9 @@ def cmd_bench(args):
             elif model == "jacobi":
                 from svdsolver_tpu.models.jacobi import svd_jacobi
 
-                t1 = benchmark(lambda A: svd_jacobi(A)[1], data)
+                t1 = benchmark(
+                    lambda A: svd_jacobi(A, block=args.block)[1], data
+                )
                 print(f"\tN = {n} : {t1:g} sec (full SVD, block Jacobi)")
             elif model in ("multicore", "tpu1", "tpu2"):
                 pad = (-n) % args.block

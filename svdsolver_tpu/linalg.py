@@ -163,13 +163,16 @@ def eigh(A, method="tpu2"):
     positive definite (``B = A + c I`` with ``c > ||A||_2``, so B's SVD *is*
     its eigendecomposition and no sign recovery is needed even for paired
     ``+/-lambda`` spectra), run the two-stage SVD, shift back.  Absolute
-    accuracy ~eps * ||A||, the same class as a direct symmetric solver.
+    accuracy ~eps * c with ``c <= 1.25 * ||A||_inf`` — the same class as a
+    direct symmetric solver up to the row-sum bound's slack.
     """
     m, n = A.shape
     if m != n:
         raise ValueError(f"eigh expects a square symmetric matrix, got {A.shape}")
     A = 0.5 * (A + A.T)  # enforce exact symmetry of the compute input
-    c = 1.25 * norm2(A) + jnp.finfo(A.dtype).tiny
+    # cheap O(n^2) spectral bound (symmetric: ||A||_2 <= ||A||_inf = max
+    # row abs-sum) — an exact norm2 here would run a second full solve
+    c = 1.25 * jnp.max(jnp.sum(jnp.abs(A), axis=1)) + jnp.finfo(A.dtype).tiny
     B = A + c * jnp.eye(n, dtype=A.dtype)
     U, s, _ = svd(B, method=method)
     w = (s - c)[::-1]

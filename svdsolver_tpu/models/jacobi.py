@@ -73,7 +73,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from svdsolver_tpu.ops.precision import pdot, get_dot_precision
+from svdsolver_tpu.ops.precision import pdot, get_lax_precision
 
 __all__ = ["svd_jacobi", "svd_jacobi_batch"]
 
@@ -203,9 +203,7 @@ def _jacobi_round(W, V, perm, iperm, in_perms, in_iperms, b, eps_eff):
     m = W.shape[0]
     n_pad = W.shape[1]
     npairs = n_pad // (2 * b)
-    prec = {"default": lax.Precision.DEFAULT,
-            "float32": lax.Precision.HIGH,
-            "highest": lax.Precision.HIGHEST}[get_dot_precision()]
+    prec = get_lax_precision()
     eps = eps_eff
 
     def group(M):
@@ -264,6 +262,18 @@ def _svd_jacobi_square(A, b, max_sweeps, tol, eps_eff):
     spread = lambda v: jnp.max(v) / jnp.maximum(jnp.min(v), tiny)
     flip = spread(rn) > spread(cn)
     A = jnp.where(flip, A.T, A)
+    # gesvj-style input scaling: Gram entries and the skip/coupling tests
+    # form PRODUCTS of squared column norms — unscaled, entries ~1e10
+    # overflow those products to inf in f32 (and in this TPU's f32-range
+    # f64 emulation), silently skipping every rotation.  Scale to
+    # max|A| ~ 1 (column norms <= sqrt(n), products <= n^2), unscale sigma.
+    scale = jnp.max(jnp.abs(A))
+    scale = jnp.where(
+        jnp.logical_or(scale == 0, ~jnp.isfinite(scale)),
+        jnp.ones((), A.dtype),
+        scale,
+    )
+    A = A / scale
 
     n_pad = -(-n // (2 * b)) * (2 * b)
     W = jnp.pad(A, ((0, 0), (0, n_pad - n)))
@@ -273,7 +283,7 @@ def _svd_jacobi_square(A, b, max_sweeps, tol, eps_eff):
     nrounds = perms.shape[0]
 
     def sweep_body(state):
-        W, V, off_prev, _, it = state
+        W, V, off_prev, stall, it = state
 
         def round_body(r, carry):
             W, V, off = carry
@@ -285,27 +295,32 @@ def _svd_jacobi_square(A, b, max_sweeps, tol, eps_eff):
         W, V, off = lax.fori_loop(
             0, nrounds, round_body, (W, V, jnp.zeros((), A.dtype))
         )
-        return W, V, off, off_prev, it + 1
+        # Noise-floor bookkeeping: a collapsed (< 1e-2) coupling that did
+        # not improve this sweep is a candidate floor, but the max
+        # off-diagonal of cyclic Jacobi is NOT monotone — a single bounce
+        # mid-convergence is normal.  Count consecutive non-improving
+        # sweeps and only the second in a row stops the iteration.
+        bounced = jnp.logical_and(off < 1e-2, off >= off_prev)
+        stall = jnp.where(bounced, stall + 1, 0)
+        return W, V, off, stall, it + 1
 
     def sweep_cond(state):
-        _, _, off, off_prev, it = state
-        # Stop on: tolerance reached, OR the coupling has collapsed
-        # (< 1e-2) and stopped improving — the noise floor of the compute
-        # path, which for columns near the dead floor sits far above any
-        # eps-scale tolerance (graded spectra on TPU-emulated f64).
-        # Further sweeps past the floor only churn noise into the smallest
-        # columns.
-        at_floor = jnp.logical_and(off < 1e-2, off >= off_prev)
+        _, _, off, stall, it = state
+        # Stop on: tolerance reached, OR two consecutive sweeps at the
+        # noise floor of the compute path (which for columns near the dead
+        # floor sits far above any eps-scale tolerance — graded spectra on
+        # TPU-emulated f64).  Further sweeps past the floor only churn
+        # noise into the smallest columns.
         return jnp.logical_and(
-            it < max_sweeps, jnp.logical_and(off > tol, ~at_floor)
+            it < max_sweeps, jnp.logical_and(off > tol, stall < 2)
         )
 
     big = jnp.full((), jnp.inf, A.dtype)
-    init = (W, V, big, big, jnp.zeros((), jnp.int32))
+    init = (W, V, big, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     W, V, off, _, sweeps = lax.while_loop(sweep_cond, sweep_body, init)
 
     U, s, Vh = _finalize(W, V, n, flip, eps_eff)
-    return U, s, Vh, sweeps
+    return U, s * scale, Vh, sweeps
 
 
 def _finalize(W, V, n, flip, eps_eff):

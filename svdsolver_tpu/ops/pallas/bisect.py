@@ -176,6 +176,8 @@ def _bisect_svdvals_pallas(d, e, iters=None, probes=1):
     if n == 1:
         return jnp.abs(d)
     probes = int(probes)
+    if probes < 1:
+        raise ValueError(f"probes must be >= 1, got {probes}")
     if iters is None:
         bits = int(np.ceil(-np.log2(np.finfo(dtype).eps))) + 12
         iters = int(np.ceil(bits / np.log2(probes + 1)))

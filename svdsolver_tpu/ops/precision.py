@@ -32,6 +32,11 @@ def get_dot_precision():
     return _PRECISION
 
 
+def get_lax_precision():
+    """The current global precision as a ``lax.Precision`` (for einsum etc.)."""
+    return _MAP[_PRECISION]
+
+
 def pdot(a, b):
     """Precision-controlled matmul/vecdot used for every contraction."""
     return jnp.matmul(a, b, precision=_MAP[_PRECISION])

@@ -399,17 +399,19 @@ def dryrun(n_devices: int, platform=None) -> None:
         np.abs(U @ np.diag(sv) @ Vh - An).max() / np.abs(An).max()
     )
     assert errv < 1e-4, f"svd_sharded reconstruction: {errv}"
-    # multi-chip block Jacobi (systolic ppermute tournament over tp)
-    from svdsolver_tpu.parallel.jacobi import svd_jacobi_sharded
+    # multi-chip block Jacobi (systolic ppermute tournament over tp);
+    # needs two column blocks per device, so skip on a tp=1 mesh
+    if mesh.shape["tp"] >= 2:
+        from svdsolver_tpu.parallel.jacobi import svd_jacobi_sharded
 
-    Uj, sj, Vhj = (
-        np.asarray(jax.block_until_ready(x))
-        for x in svd_jacobi_sharded(A0, mesh)
-    )
-    errj = float(
-        np.abs(Uj @ np.diag(sj) @ Vhj - An).max() / np.abs(An).max()
-    )
-    assert errj < 1e-3, f"svd_jacobi_sharded reconstruction: {errj}"
+        Uj, sj, Vhj = (
+            np.asarray(jax.block_until_ready(x))
+            for x in svd_jacobi_sharded(A0, mesh)
+        )
+        errj = float(
+            np.abs(Uj @ np.diag(sj) @ Vhj - An).max() / np.abs(An).max()
+        )
+        assert errj < 1e-3, f"svd_jacobi_sharded reconstruction: {errj}"
     # GSPMD batch path (dp x tp shardings under jit); svdvals_batch_sharded
     # device_puts the raw numpy batch straight onto the mesh.
     As = rng.uniform(0.0, 5.0, (batch, n, n)).astype(np.float32)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from svdsolver_tpu.ops.precision import pdot, get_dot_precision
+from svdsolver_tpu.ops.precision import pdot, get_lax_precision
 from svdsolver_tpu.models.jacobi import (
     _eps_eff,
     _finalize,
@@ -103,13 +103,21 @@ def svd_jacobi_sharded(A, mesh, max_sweeps=30, tol=None):
     if flip:
         A = A.T
 
+    # gesvj-style input scaling (see models/jacobi.py): Gram products of
+    # squared column norms overflow f32 for entries ~1e10 without it
+    scale = jnp.max(jnp.abs(A))
+    scale = jnp.where(
+        jnp.logical_or(scale == 0, ~jnp.isfinite(scale)),
+        jnp.ones((), dtype),
+        scale,
+    )
+    A = A / scale
+
     b = -(-n // (2 * n_dev))  # block width: device pair width is 2b
     n_pad = 2 * n_dev * b
     Ap = jnp.pad(A, ((0, n_pad - n), (0, n_pad - n)))
     in_perms, in_iperms = _schedule_cols(2 * b, 1)
-    prec = {"default": lax.Precision.DEFAULT,
-            "float32": lax.Precision.HIGH,
-            "highest": lax.Precision.HIGHEST}[get_dot_precision()]
+    prec = get_lax_precision()
 
     def body(W_loc, V_loc):  # (n_pad, 2b) column blocks per device
         nrounds = 2 * n_dev - 1
@@ -138,22 +146,26 @@ def svd_jacobi_sharded(A, mesh, max_sweeps=30, tol=None):
             )
 
         def sweep_body(state):
-            W, V, off_prev, _, it = state
+            W, V, off_prev, stall, it = state
             W, V, off = lax.fori_loop(
                 0, nrounds, round_body, (W, V, jnp.zeros((), dtype))
             )
-            return W, V, off, off_prev, it + 1
+            # two-consecutive-bounce floor rule, as in the single-chip solver
+            bounced = jnp.logical_and(off < 1e-2, off >= off_prev)
+            stall = jnp.where(bounced, stall + 1, 0)
+            return W, V, off, stall, it + 1
 
         def sweep_cond(state):
-            _, _, off, off_prev, it = state
-            # same noise-floor bounce rule as the single-chip solver
-            at_floor = jnp.logical_and(off < 1e-2, off >= off_prev)
+            _, _, off, stall, it = state
             return jnp.logical_and(
-                it < max_sweeps, jnp.logical_and(off > tol, ~at_floor)
+                it < max_sweeps, jnp.logical_and(off > tol, stall < 2)
             )
 
         big = jnp.full((), jnp.inf, dtype)
-        init = (W_loc, V_loc, big, big, jnp.zeros((), jnp.int32))
+        init = (
+            W_loc, V_loc, big,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        )
         W_loc, V_loc, *_ = lax.while_loop(sweep_cond, sweep_body, init)
         return W_loc, V_loc
 
@@ -177,4 +189,5 @@ def svd_jacobi_sharded(A, mesh, max_sweeps=30, tol=None):
     W = jax.device_put(W, NamedSharding(mesh, P()))
     V = jax.device_put(V, NamedSharding(mesh, P()))
     fin = functools.partial(_finalize, n=n, flip=jnp.asarray(flip), eps_eff=eps_eff)
-    return jax.jit(fin)(W, V)
+    U, s, Vh = jax.jit(fin)(W, V)
+    return U, s * scale, Vh

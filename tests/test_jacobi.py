@@ -154,3 +154,24 @@ def test_sweep_count_terminates(rng):
         A, b=16, max_sweeps=30, tol=float(np.sqrt(n)) * eps, eps_eff=eps
     )
     assert 3 <= int(sweeps) <= 20
+
+
+def test_jacobi_large_scale_entries(rng):
+    # regression: the rotation-skip and coupling tests form products of
+    # squared column norms; without gesvj-style input scaling, entries
+    # ~1e10 overflow those products to inf in f32 and every rotation is
+    # silently skipped (sigma came back with ~0.4 relative error)
+    from svdsolver_tpu import svd_jacobi
+
+    n = 64
+    A = jnp.asarray((rng.normal(size=(n, n)) * 1e10).astype(np.float32))
+    U, s, Vh = (np.asarray(x) for x in svd_jacobi(A))
+    ref = np.linalg.svd(np.asarray(A, np.float64), compute_uv=False)
+    assert np.max(np.abs(s - ref)) / ref[0] < 1e-4
+    An = np.asarray(A)
+    assert np.abs(U @ np.diag(s) @ Vh - An).max() / np.abs(An).max() < 1e-4
+    # and tiny entries (underflow side of the same scaling)
+    B = jnp.asarray((rng.normal(size=(n, n)) * 1e-30).astype(np.float32))
+    _, s2, _ = (np.asarray(x) for x in svd_jacobi(B))
+    ref2 = np.linalg.svd(np.asarray(B, np.float64), compute_uv=False)
+    assert np.max(np.abs(s2 - ref2)) / ref2[0] < 1e-4

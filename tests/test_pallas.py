@@ -395,3 +395,27 @@ def test_pallas_chase_stream_accum(rng):
     recon = pdot(pdot(L, B), R.T)
     nrm = float(jnp.abs(Ab).max())
     assert float(jnp.abs(recon - Ab).max()) / nrm < 2e-4
+
+
+def test_pallas_bisect_multisection_probes(rng):
+    # probes > 1 (multisection) must match the probes=1 bisection brackets
+    # to bracket-width accuracy; exercises the segment-sum / exact-endpoint
+    # logic that probes=1 never touches
+    import pytest
+    from svdsolver_tpu.ops.pallas.bisect import bisect_svdvals_pallas
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("Pallas TPU kernel")
+    n = 200
+    d = jnp.asarray(rng.uniform(0.5, 5, n).astype(np.float32))
+    e = jnp.asarray(rng.uniform(0.5, 5, n - 1).astype(np.float32))
+    ref = np.linalg.svd(
+        np.diag(np.asarray(d, np.float64))
+        + np.diag(np.asarray(e, np.float64), 1),
+        compute_uv=False,
+    )
+    for k in (3, 7):
+        s = np.asarray(bisect_svdvals_pallas(d, e, probes=k))
+        assert np.max(np.abs(s - ref)) / ref[0] < 1e-5, k
+    with pytest.raises(ValueError):
+        bisect_svdvals_pallas(d, e, probes=0)
