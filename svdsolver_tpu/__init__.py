@@ -40,6 +40,7 @@ from svdsolver_tpu.models.diagonalize import (
 from svdsolver_tpu.models.svd import svdvals, svdvals_batch, Bidiagonal
 from svdsolver_tpu.models.vectors import svd, svds, svd_batch, bidiagonal_svd
 from svdsolver_tpu.models.jacobi import svd_jacobi, svd_jacobi_batch
+from svdsolver_tpu.models.complex_svd import svd_c, svdvals_c
 from svdsolver_tpu.linalg import (
     pinv,
     lstsq,
@@ -77,6 +78,8 @@ __all__ = [
     "svdvals_batch",
     "svd",
     "svd_jacobi",
+    "svd_c",
+    "svdvals_c",
     "svd_jacobi_batch",
     "svds",
     "svd_batch",

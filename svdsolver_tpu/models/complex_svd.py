@@ -1,0 +1,286 @@
+"""Complex SVD in split (re, im) representation: unitary bidiagonalization
+to a REAL bidiagonal + the real pipeline.
+
+No reference counterpart (the reference is float/double only — matrix.h:79);
+this is the zgebrd/zbdsqr capability a complete framework needs.  Two
+TPU-specific constraints shape the design:
+
+* **This TPU backend has no complex dtype at all** (even elementwise
+  complex64 raises UNIMPLEMENTED), so complex arrays are carried as
+  ``(re, im)`` pairs of real float32 arrays and every complex operation is
+  expanded into real arithmetic — a complex contraction is 4 real MXU
+  matmuls, which is exactly how XLA lowers complex GEMMs on platforms that
+  do support the dtype.  The functional core is pure and jittable over the
+  split pairs; thin wrappers convert host numpy complex arrays at the API
+  boundary.
+* Complex Householder reflectors use LAPACK zlarfg scaling, which produces
+  a REAL beta at every pivot — so the bidiagonal {d, e} of a complex matrix
+  is real *by construction* (no phase-normalization pass) and the entire
+  real diagonalization stack (Pallas bisection, dqds, TGK inverse iteration
+  with cluster coupling) applies unchanged.  Only the reduction and the
+  final back-transform GEMMs are complex.
+
+Reflector conventions (differential-tested vs numpy in tests/test_complex):
+
+* column elimination: ``(v, tau, beta) = householder_vector_c(x, p)`` gives
+  unitary ``H = I - tau v v^H`` with ``H^H x = beta e_p`` (beta REAL);
+  apply ``A <- H^H A = A - conj(tau) v (v^H A)`` and accumulate
+  ``U <- U H = U - tau (U v) v^H``.  Unlike the real case a reflector is
+  needed even for a zero tail when the pivot has a nonzero imaginary part
+  (it rotates the pivot onto the real axis).
+* row elimination at row r: run zlarfg on ``y = conj(A[r, :])``; then
+  ``A <- A (I - tau u u^H)`` zeroes ``A[r, p+1:]`` with ``A[r, p]`` real,
+  and the right factor accumulates as ``Vh <- (I - conj(tau) u u^H) Vh``
+  (the module keeps ``Vh = V^H`` directly, so ``A_orig = U A_cur Vh`` is
+  loop-invariant).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from svdsolver_tpu.ops.precision import pdot
+
+__all__ = ["bidiagonalize_gk_c", "svdvals_c", "svd_c", "householder_vector_c"]
+
+
+# ---------------------------------------------------------------------------
+# split-complex helpers: a "complex" array/scalar is a (re, im) pair
+# ---------------------------------------------------------------------------
+
+def _cmatmul(a, b):
+    """(ar, ai) @ (br, bi) -> 4 real MXU contractions."""
+    ar, ai = a
+    br, bi = b
+    return (pdot(ar, br) - pdot(ai, bi), pdot(ar, bi) + pdot(ai, br))
+
+
+def _cvecmat_h(v, A):
+    """``v^H A`` for column pair v and matrix pair A -> row-vector pair."""
+    vr, vi = v
+    Ar, Ai = A
+    return (pdot(vr, Ar) + pdot(vi, Ai), pdot(vr, Ai) - pdot(vi, Ar))
+
+
+def _cmatvec(A, v):
+    Ar, Ai = A
+    vr, vi = v
+    return (pdot(Ar, vr) - pdot(Ai, vi), pdot(Ar, vi) + pdot(Ai, vr))
+
+
+def _couter(u, w):
+    ur, ui = u
+    wr, wi = w
+    return (
+        jnp.outer(ur, wr) - jnp.outer(ui, wi),
+        jnp.outer(ur, wi) + jnp.outer(ui, wr),
+    )
+
+
+def _cscale(t, x):
+    """scalar pair t * array pair x."""
+    tr, ti = t
+    xr, xi = x
+    return (tr * xr - ti * xi, tr * xi + ti * xr)
+
+
+def _csub(a, b):
+    return (a[0] - b[0], a[1] - b[1])
+
+
+def _cconj(a):
+    return (a[0], -a[1])
+
+
+def _cdiv(x, d):
+    """array pair x / scalar pair d (guarded by caller)."""
+    dr, di = d
+    n2 = dr * dr + di * di
+    xr, xi = x
+    return ((xr * dr + xi * di) / n2, (xi * dr - xr * di) / n2)
+
+
+def householder_vector_c(x, p):
+    """Complex Householder reflector over a split pair (zlarfg semantics).
+
+    ``x`` is a (re, im) pair of length-L vectors.  Returns ``(v, tau, beta)``
+    with ``v`` a masked full-length pair (zero below the pivot,
+    ``v[p] == 1``), ``tau`` a scalar pair, and ``beta`` a REAL scalar such
+    that ``(I - tau v v^H)^H x' = beta e_p`` (``x'`` = x with indices < p
+    ignored).
+    """
+    xr, xi = x
+    L = xr.shape[0]
+    dtype = xr.dtype
+    idx = jnp.arange(L)
+    tail = idx > p
+    zero = jnp.zeros((), dtype)
+    one = jnp.ones((), dtype)
+    xtr = jnp.where(tail, xr, zero)
+    xti = jnp.where(tail, xi, zero)
+    pc = jnp.minimum(p, L - 1)
+    in_range = p < L
+    pr = jnp.where(in_range, xr[pc], zero)
+    pi = jnp.where(in_range, xi[pc], zero)
+    sigma2 = jnp.sum(xtr * xtr + xti * xti)
+    norm = jnp.sqrt(pr * pr + pi * pi + sigma2)
+    sign = jnp.where(pr >= 0, one, -one)
+    beta = -sign * norm  # REAL
+    trivial = jnp.logical_and(sigma2 == 0, pi == 0)
+    denom = (jnp.where(trivial, one, pr - beta), jnp.where(trivial, zero, pi))
+    vr, vi = _cdiv((xtr, xti), denom)
+    vr = vr.at[pc].set(jnp.where(in_range, one, vr[pc]))
+    vi = vi.at[pc].set(jnp.where(in_range, zero, vi[pc]))
+    safe_beta = jnp.where(beta == 0, one, beta)
+    tau = (
+        jnp.where(trivial, zero, (beta - pr) / safe_beta),
+        jnp.where(trivial, zero, -pi / safe_beta),
+    )
+    beta_out = jnp.where(trivial, pr, beta)
+    return (vr, vi), tau, beta_out
+
+
+@functools.partial(jax.jit, static_argnames=("uv",))
+def _bidiagonalize_gk_c(Ar, Ai, uv=False):
+    """Split-complex Golub-Kahan: (d, e) real [+ (U, Vh) pairs if ``uv``].
+
+    ``A = U @ B @ Vh`` with B the real upper bidiagonal {d, e}; U (m, m)
+    and Vh (n, n) unitary.  Rank-1 masked-reflector form of the reference's
+    ``brd`` (svd_serial.h:233), generalized to the complex field.
+    """
+    m, n = Ar.shape
+    dtype = Ar.dtype
+    if m < n:
+        raise ValueError("internal: callers must pass m >= n")
+    ridx = jnp.arange(m)
+    cidx = jnp.arange(n)
+    zero = jnp.zeros((), dtype)
+
+    d0 = jnp.zeros((n,), dtype)
+    e0 = jnp.zeros((max(n - 1, 1),), dtype)
+    eye_m = jnp.eye(m, dtype=dtype) if uv else jnp.zeros((1, 1), dtype)
+    eye_n = jnp.eye(n, dtype=dtype) if uv else jnp.zeros((1, 1), dtype)
+    zU = jnp.zeros_like(eye_m)
+    zV = jnp.zeros_like(eye_n)
+
+    def step(j, carry):
+        A, d, e, U, Vh = carry
+        # --- column reflector: zero A[j+1:, j], A[j, j] -> real beta ---
+        keep = ridx >= j
+        col = (
+            jnp.where(keep, A[0][:, j], zero),
+            jnp.where(keep, A[1][:, j], zero),
+        )
+        v, tau, beta = householder_vector_c(col, j)
+        w = _cvecmat_h(v, A)  # v^H A
+        A = _csub(A, _cscale(_cconj(tau), _couter(v, w)))
+        d = d.at[j].set(beta)
+        if uv:
+            Uv = _cmatvec(U, v)
+            U = _csub(U, _cscale(tau, _couter(Uv, _cconj(v))))
+        # --- row reflector on conj(A[j, :]): zero A[j, j+2:], e_j real ---
+        keep_r = cidx >= j + 1
+        y = (
+            jnp.where(keep_r, A[0][j, :], zero),
+            jnp.where(keep_r, -A[1][j, :], zero),
+        )
+        u, tau_r, beta_r = householder_vector_c(y, j + 1)
+        Au = _cmatvec(A, u)
+        A = _csub(A, _cscale(tau_r, _couter(Au, _cconj(u))))
+        e = lax.cond(
+            j < n - 1,
+            lambda e: e.at[jnp.minimum(j, n - 2)].set(beta_r),
+            lambda e: e,
+            e,
+        )
+        if uv:
+            uhV = _cvecmat_h(u, Vh)
+            Vh = _csub(Vh, _cscale(_cconj(tau_r), _couter(u, uhV)))
+        return A, d, e, U, Vh
+
+    init = ((Ar, Ai), d0, e0, (eye_m, zU), (eye_n, zV))
+    A, d, e, U, Vh = lax.fori_loop(0, n, step, init)
+    if uv:
+        return d, e, U, Vh
+    return d, e
+
+
+def bidiagonalize_gk_c(Ar, Ai):
+    """Real bidiagonal {d, e} of a split-complex matrix (m >= n)."""
+    return _bidiagonalize_gk_c(Ar, Ai, uv=False)
+
+
+def _split(A):
+    """Host numpy complex (or real) -> (re, im) float32/float64 jax pair."""
+    import numpy as np
+
+    A = np.asarray(A)
+    rdt = jnp.float64 if A.dtype == np.complex128 else jnp.float32
+    return (
+        jnp.asarray(np.ascontiguousarray(A.real), rdt),
+        jnp.asarray(np.ascontiguousarray(A.imag), rdt),
+    )
+
+
+def _join(pair):
+    """(re, im) jax pair -> host numpy complex array."""
+    import numpy as np
+
+    re, im = (np.asarray(x) for x in pair)
+    return re + 1j * im
+
+
+def svdvals_c(A):
+    """Singular values of a complex matrix, descending (host numpy in/out).
+
+    ``A`` may be a numpy complex array or a ``(re, im)`` pair of jax arrays.
+    Split-complex Golub-Kahan to a REAL bidiagonal, then the real
+    diagonalization (Pallas bisection on TPU fp32).
+    """
+    from svdsolver_tpu.models.svd import use_pallas
+    from svdsolver_tpu.models.diagonalize import bisect_svdvals
+
+    pair = A if isinstance(A, tuple) else _split(A)
+    m, n = pair[0].shape
+    if m < n:  # sigma(A^H) = sigma(A)
+        pair = (pair[0].T, -pair[1].T)
+        m, n = n, m
+    d, e = bidiagonalize_gk_c(*pair)
+    if use_pallas(d.dtype) and n > 1:
+        from svdsolver_tpu.ops.pallas.bisect import bisect_svdvals_pallas
+
+        return bisect_svdvals_pallas(d, e)[:n]
+    return bisect_svdvals(d, e)[:n]
+
+
+def svd_c(A):
+    """Full thin SVD of a complex matrix: ``A ~= U @ diag(s) @ Vh``.
+
+    ``A``: numpy complex (returns numpy complex U/Vh, jax real s) or a
+    ``(re, im)`` jax pair (returns U/Vh as pairs).  U (m, k), s (k,)
+    descending, Vh (k, n), k = min(m, n).  Split-complex reduction with
+    factor accumulation + real bidiagonal SVD (TGK inverse iteration with
+    cluster coupling) + split-complex back-transform GEMMs.
+    """
+    pairs_in = isinstance(A, tuple)
+    pair = A if pairs_in else _split(A)
+    m, n = pair[0].shape
+    if m < n:  # A^H = U2 s Vh2  =>  A = Vh2^H s U2^H
+        U2, s, Vh2 = svd_c((pair[0].T, -pair[1].T))
+        U = (Vh2[0].T, -Vh2[1].T)
+        Vh = (U2[0].T, -U2[1].T)
+        if pairs_in:
+            return U, s, Vh
+        return _join(U), s, _join(Vh)
+    from svdsolver_tpu.models.vectors import bidiagonal_svd
+
+    d, e, U1, Vh1 = _bidiagonalize_gk_c(*pair, uv=True)
+    U_b, s, V_b = bidiagonal_svd(d, e)  # real factors of the bidiagonal
+    zb = jnp.zeros_like(U_b)
+    U = _cmatmul((U1[0][:, :n], U1[1][:, :n]), (U_b, zb))
+    Vh = _cmatmul((V_b.T, jnp.zeros_like(V_b.T)), Vh1)
+    if pairs_in:
+        return U, s, Vh
+    return _join(U), s, _join(Vh)

@@ -136,6 +136,12 @@ def svdvals(A, method="tpu2", block=None, diag="bisect"):
     — the standard tall-matrix preprocessing the reference lacks (its
     two-stage models require square inputs).
     """
+    import numpy as _np
+
+    if _np.iscomplexobj(A):  # host numpy complex; no complex dtype on TPU
+        from svdsolver_tpu.models.complex_svd import svdvals_c
+
+        return svdvals_c(A)
     m, n = A.shape
     if m != n:
         if m < n:

@@ -657,6 +657,12 @@ def svd(A, panel=32, method="tpu2", band=None):
     (:func:`~svdsolver_tpu.models.jacobi.svd_jacobi` — high RELATIVE
     accuracy on graded matrices, all-GEMM compute shape).
     """
+    import numpy as _np
+
+    if _np.iscomplexobj(A):  # host numpy complex; no complex dtype on TPU
+        from svdsolver_tpu.models.complex_svd import svd_c
+
+        return svd_c(A)
     m, n = A.shape
     if method == "jacobi":
         from svdsolver_tpu.models.jacobi import svd_jacobi
