@@ -83,6 +83,50 @@ def _right_apply(P, b, r, v0, tau, SL, RL):
     P[pl.ds(r8, SL + 8), :WR] = rows - (tau * u) * Vm
 
 
+def _right_apply_xcol(P, b, r, v0, tau):
+    """_right_apply (SL = RL = 2b) fused with the NEXT left elimination's
+    pivot-column extraction.
+
+    Region algebra: the right slab spans packed rows [r8, r8 + 2b + 8); the
+    left pivot column at r1 = r + b lives in rows [r1_8, r1_8 + b + 8), and
+    b % 8 == 0 gives r1_8 = r8 + b — exactly the static tail rows
+    [b, 2b + 8) of the right slab.  Extracting from the in-register updated
+    tail is therefore bitwise the post-store ``_left_xcol(P, b, r + b)``,
+    at one slab access per pair instead of two (the extract's load was
+    ~10 ms of the 57 ms tick budget at n=3840 — PERF_NOTES session-4).
+    Safe per-lane: a tick's lane slabs are disjoint and the head region
+    ends before lane 0's slab, so no other write lands in this slab
+    between the apply and the extract.
+    """
+    dtype = P.dtype
+    zero = jnp.zeros((), dtype)
+    SL = 2 * b
+    r8 = (r // 8) * 8
+    ro = r - r8
+    rows = P[pl.ds(r8, SL + 8), :WR]
+    qi = lax.broadcasted_iota(jnp.int32, (SL + 8, 1), 0)
+    active = jnp.logical_and(qi >= ro, qi < ro + SL)
+    v1 = pltpu.roll(v0, WR - 128, 1)
+    v2 = pltpu.roll(v0, WR - 256, 1)
+    zone = (r8 + qi) // 128 - r // 128
+    Vm = jnp.where(zone == 0, v0, jnp.where(zone == 1, v1, v2))
+    Vm = jnp.where(active, Vm, zero)
+    u = jnp.sum(rows * Vm, axis=1, keepdims=True)
+    new = rows - (tau * u) * Vm
+    P[pl.ds(r8, SL + 8), :WR] = new
+    # fused extraction (same arithmetic as _left_xcol on the stored values)
+    r1 = r + b
+    lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
+    tail = lax.slice_in_dim(new, b, SL + 8, axis=0)  # static rows [b, 2b+8)
+    qi_e = lax.broadcasted_iota(jnp.int32, (b + 8, 1), 0)
+    xl = lax.rem(r1, jnp.int32(128)) + 128
+    zone_e = (r8 + b + qi_e) // 128 - r1 // 128
+    lofs = xl - 128 * zone_e
+    return jnp.sum(
+        jnp.where(lane_r == lofs, tail, zero), axis=1, keepdims=True
+    )
+
+
 def _left_xcol(P, b, r1):
     """Pivot-column extraction half of band_chase_vmem._left_elim:
     returns the (b+8, 1) packed pivot column of the left slab at ``r1``."""
@@ -234,23 +278,18 @@ def _wave_tick(P, n, b, L, PR, XC, T, i_lo=None, i_hi=None, row_off=None):
     xv = b + lax.rem(rv, jnp.int32(128)) + 128  # (Lp, 1)
     Vr, taur = _make_v(PR[...], xv, b, lane_r)
 
-    # right applies, per lane in place
-    for l in range(L):
-        r_l, act = lane(l)
-        pl.when(act)(
-            lambda r_l=r_l, l=l: _right_apply(
-                P, b, r_l, Vr[l : l + 1, :], taur[l : l + 1, :], 2 * b,
-                2 * b,
-            )
-        )
-
-    # left pivot-column extracts into the lane buffer
+    # right applies fused with the next left elimination's pivot-column
+    # extraction (one slab access instead of two; lanes' slabs are disjoint
+    # so the per-lane interleave is order-equivalent to apply-all-then-
+    # extract-all)
     for l in range(L):
         r_l, act = lane(l)
 
         @pl.when(act)
-        def _extract(r_l=r_l, l=l):
-            XC[:, l : l + 1] = _left_xcol(P, b, r_l + b)
+        def _apply_extract(r_l=r_l, l=l):
+            XC[:, l : l + 1] = _right_apply_xcol(
+                P, b, r_l, Vr[l : l + 1, :], taur[l : l + 1, :]
+            )
 
     # ONE batched column larfg for all left reflectors.  Pivot sublane
     # per LANE-dim index c (same affine map as the sublane-dim rv).
@@ -488,24 +527,19 @@ def _wave_tick_rec(
     Vr, taur = _make_v(PR[...], xv, b, lane_r)
     Vrm = jnp.where(taur == 0, zero, Vr)
 
+    # right applies fused with the left pivot-column extraction (one slab
+    # access instead of two — see _right_apply_xcol; lanes disjoint per
+    # tick so the interleave is order-equivalent)
     for l in range(L):
         i_l, k_l, r_l, act = lane(l)
 
         @pl.when(act)
         def _right(i_l=i_l, k_l=k_l, r_l=r_l, l=l):
-            _right_apply(
-                P, b, r_l, Vr[l : l + 1, :], taur[l : l + 1, :], 2 * b,
-                2 * b,
+            XC[:, l : l + 1] = _right_apply_xcol(
+                P, b, r_l, Vr[l : l + 1, :], taur[l : l + 1, :]
             )
             row = lax.rem(i_l, jnp.int32(NB)) * s_blk + k_l
             RECR[pl.ds(row, 1), :] = Vrm[l : l + 1, :]
-
-    for l in range(L):
-        _, _, r_l, act = lane(l)
-
-        @pl.when(act)
-        def _extract(r_l=r_l, l=l):
-            XC[:, l : l + 1] = _left_xcol(P, b, r_l + b)
 
     lc = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     ivc = lane_anchor - lc
