@@ -564,7 +564,7 @@ def _band_to_bidiagonal_pallas_stream(A, band=128):
     # wavefront tail lanes (0 selects the sequential fallback, b < 32 —
     # the wave tick's head/lane slab disjointness needs b >= 32)
     Ltail = _n_lanes(n_local, b) if (b >= 32 and n_local >= 2) else 0
-    Lp = max(8, -(-Ltail // 8) * 8)
+    Lp = max(8, -(-(Ltail + 1) // 8) * 8)  # +1: head larfg slot
     # grouped phase A (0 selects the per-sweep fallback)
     Lg = LG if b >= 32 else 0
     hg = _group_hops_per_window(b, Lg) if Lg else 0
@@ -611,7 +611,7 @@ def _stream_accum_params(n, b):
     R0 = -(-(n - tcap) // 128) * 128 if n > tcap else 0
     n_local = n - R0
     Ltail = _n_lanes(n_local, b)
-    Lp = max(8, -(-Ltail // 8) * 8)
+    Lp = max(8, -(-(Ltail + 1) // 8) * 8)  # +1: head larfg slot
     hg = _group_hops_per_window(b, LG, W_REC)
     s_pad = _rec_spad(n, b)
     s_blk_B = _rec_spad(n_local, b)

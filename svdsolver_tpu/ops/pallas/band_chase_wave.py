@@ -20,10 +20,18 @@ slab in place:
   L right reflectors — a single sqrt/div chain per tick instead of per lane;
 * applies stay per-lane (predicated `pl.when`, slabs load/store in place,
   exactly the vmem kernel's arithmetic);
-* left pivot COLUMNS extract into a (b+8, 128) lane buffer; one batched
+* left pivot COLUMNS extract into a (b+8, 128) lane buffer — fused into
+  the right applies (the column is the static tail of the right slab, so
+  it reads from registers: 3 slab accesses/pair instead of 4); one batched
   column larfg builds all L left reflectors; applies again per-lane.
-* the sweep HEAD (k = 0, different support geometry, at most one per tick)
-  runs as the plain sequential pair under `pl.when(T % 3 == 0)`.
+* the sweep HEAD (k = 0, support at column offset 1 instead of b, at most
+  one per tick) rides slot L of the same batched larfgs (its pivot lane /
+  sublane override the hop formulas there); only its two applies and its
+  column extract stay scalar under `pl.when(T % 3 == 0)`.
+
+Measured (n=3840, b=128, same-process 5-rep A/B): extract fusion
+60.3 -> 56.4 ms, head batching -> 55.3 ms; d/e bitwise-identical to the
+sequential VMEM kernel throughout.
 
 Disjointness at a tick: consecutive active lanes' pivot rows differ by
 3b - 1 while a pair's touched span is < 2b + 16 rows, and the head spans
@@ -216,21 +224,31 @@ def _wave_tick(P, n, b, L, PR, XC, T, i_lo=None, i_hi=None, row_off=None):
     dtype = P.dtype
     zero = jnp.zeros((), dtype)
     Lp = PR.shape[0]
+    assert Lp >= L + 1 and L + 1 <= 128, (Lp, L)  # head rides slot L
     lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
     qi8 = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     li = lax.broadcasted_iota(jnp.int32, (Lp, 1), 0)
     off = 0 if row_off is None else row_off
 
     # ---- head (sweep T//3's k=0 pair; geometry differs, <=1/tick) -------
+    # The head's larfg chains BATCH with the hop lanes' (slot L of PR/XC;
+    # same _make_v / same-op-order column larfg, so bitwise-identical to
+    # the old sequential _right_elim/_left_elim pair); only its applies
+    # stay scalar, under pl.when.  Head and lane slabs are disjoint
+    # (docstring), so phase order between head and lanes is free.
     head_ok = jnp.logical_and(T % 3 == 0, T // 3 <= n - 2)
     if i_hi is not None:
         head_ok = jnp.logical_and(head_ok, T // 3 <= i_hi)
+    r_h = T // 3 - off  # head pivot row (window-local)
 
     @pl.when(head_ok)
-    def _head():
-        i = T // 3
-        _right_elim(P, b, i - off, 1, b + 8, w)
-        _left_elim(P, b, i + 1 - off)
+    def _head_gather():
+        r8 = (r_h // 8) * 8
+        ro = r_h - r8
+        rows8 = P[pl.ds(r8, 8), :WR]
+        PR[L : L + 1, :] = jnp.sum(
+            jnp.where(qi8 == ro, rows8, zero), axis=0, keepdims=True
+        )
 
     # ---- hop lanes: r affine in l (spacing 3b - 1) ----------------------
     # Lane -> sweep mapping: in the FULL schedule every sweep is live, so
@@ -274,9 +292,19 @@ def _wave_tick(P, n, b, L, PR, XC, T, i_lo=None, i_hi=None, row_off=None):
                 jnp.where(qi8 == ro, rows8, zero), axis=0, keepdims=True
             )
 
-    # ONE batched larfg for all right reflectors of this tick
+    # ONE batched larfg for all right reflectors of this tick (+ the head:
+    # its support starts at column offset 1 instead of b — row L's pivot
+    # lane overrides the hop formula)
     xv = b + lax.rem(rv, jnp.int32(128)) + 128  # (Lp, 1)
+    xv = jnp.where(li == L, 1 + lax.rem(r_h, jnp.int32(128)) + 128, xv)
     Vr, taur = _make_v(PR[...], xv, b, lane_r)
+
+    @pl.when(head_ok)
+    def _head_right():
+        # apply region rows [r_h, r_h + w): the vmem head geometry
+        _right_apply(
+            P, b, r_h, Vr[L : L + 1, :], taur[L : L + 1, :], b + 8, w
+        )
 
     # right applies fused with the next left elimination's pivot-column
     # extraction (one slab access instead of two; lanes' slabs are disjoint
@@ -291,13 +319,23 @@ def _wave_tick(P, n, b, L, PR, XC, T, i_lo=None, i_hi=None, row_off=None):
                 P, b, r_l, Vr[l : l + 1, :], taur[l : l + 1, :]
             )
 
-    # ONE batched column larfg for all left reflectors.  Pivot sublane
-    # per LANE-dim index c (same affine map as the sublane-dim rv).
+    @pl.when(head_ok)
+    def _head_extract():
+        XC[:, L : L + 1] = _left_xcol(P, b, r_h + 1)
+
+    # ONE batched column larfg for all left reflectors (+ the head's at
+    # lane slot L: its pivot column sits at r_h + 1).  Pivot sublane per
+    # LANE-dim index c (same affine map as the sublane-dim rv).
     lc = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     ivc = lane_anchor - lc
     r1c = ivc + 1 + (T - 3 * ivc - 1) * b + b
+    r1c = jnp.where(lc == L, r_h + 1, r1c)
     ro1c = r1c - (r1c // 8) * 8
     Vl, taul = _left_make_v_batched(XC[...], ro1c, b)
+
+    @pl.when(head_ok)
+    def _head_left():
+        _left_apply(P, b, r_h + 1, Vl[:, L : L + 1], taul[:, L : L + 1])
 
     # left applies, per lane in place
     for l in range(L):
@@ -721,7 +759,7 @@ def _band_to_bidiagonal_pallas_wave_accum(A, band=128):
     nb = Npad // 128
     n128 = -(-n // 128) * 128
     L = _n_lanes(n, b)
-    Lp = -(-L // LANE_PAD) * LANE_PAD
+    Lp = -(-(L + 1) // LANE_PAD) * LANE_PAD  # +1: head larfg slot
     NB = L + 2
     s_pad = _rec_spad(n, b)
     if n128 != n:
@@ -805,7 +843,7 @@ def _band_to_bidiagonal_pallas_wave(A, band=128):
     nb = Npad // 128
     n128 = -(-n // 128) * 128
     L = _n_lanes(n, b)
-    Lp = -(-L // LANE_PAD) * LANE_PAD
+    Lp = -(-(L + 1) // LANE_PAD) * LANE_PAD  # +1: head larfg slot
     if n128 != n:
         A = jnp.pad(A, ((0, n128 - n), (0, n128 - n)))
     d2, e2 = pl.pallas_call(
