@@ -95,3 +95,19 @@ def test_svd_c_hermitian_and_real_input(rng):
     s1 = np.asarray(svdvals_c(R.astype(np.complex64)))
     ref2 = np.linalg.svd(R.astype(np.float64), compute_uv=False)
     assert np.max(np.abs(s1 - ref2)) / ref2[0] < 1e-5
+
+
+def test_bidiagonalize_blocked_c(rng):
+    # blocked (zlabrd-class) reduction matches the GK ladder's sigma;
+    # odd n exercises the ragged last panel
+    from svdsolver_tpu.models.complex_svd import bidiagonalize_blocked_c
+
+    for m, n in ((63, 63), (80, 48)):
+        A = (rng.normal(size=(m, n)) + 1j * rng.normal(size=(m, n))).astype(
+            np.complex64
+        )
+        d, e = bidiagonalize_blocked_c(*_split(A), panel=16)
+        B = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+        ref = np.linalg.svd(A.astype(np.complex128), compute_uv=False)
+        got = np.linalg.svd(B.astype(np.float64), compute_uv=False)
+        assert np.max(np.abs(got - ref)) / ref[0] < 1e-5, (m, n)
