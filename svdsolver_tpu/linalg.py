@@ -166,9 +166,21 @@ def eigh(A, method="tpu2"):
     accuracy ~eps * c with ``c <= 1.25 * ||A||_inf`` — the same class as a
     direct symmetric solver up to the row-sum bound's slack.
     """
+    import numpy as np
+
     m, n = A.shape
     if m != n:
         raise ValueError(f"eigh expects a square symmetric matrix, got {A.shape}")
+    if np.iscomplexobj(A):  # Hermitian: same shift trick via the complex SVD
+        from svdsolver_tpu.models.complex_svd import svd_c
+
+        A = np.asarray(A)
+        A = 0.5 * (A + np.conj(A.T))
+        c = 1.25 * float(np.abs(A).sum(axis=1).max()) + float(
+            np.finfo(A.real.dtype).tiny
+        )
+        U, s, _ = svd_c(A + c * np.eye(n, dtype=A.dtype))
+        return (s - c)[::-1], U[:, ::-1]
     A = 0.5 * (A + A.T)  # enforce exact symmetry of the compute input
     # cheap O(n^2) spectral bound (symmetric: ||A||_2 <= ||A||_inf = max
     # row abs-sum) — an exact norm2 here would run a second full solve

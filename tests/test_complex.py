@@ -111,3 +111,20 @@ def test_bidiagonalize_blocked_c(rng):
         ref = np.linalg.svd(A.astype(np.complex128), compute_uv=False)
         got = np.linalg.svd(B.astype(np.float64), compute_uv=False)
         assert np.max(np.abs(got - ref)) / ref[0] < 1e-5, (m, n)
+
+
+def test_eigh_hermitian_complex(rng):
+    from svdsolver_tpu.linalg import eigh
+
+    n = 32
+    M = rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+    A = ((M + np.conj(M.T)) / 2).astype(np.complex64)
+    w, V = eigh(A)
+    w = np.asarray(w)
+    ref = np.linalg.eigvalsh(A.astype(np.complex128))
+    assert np.all(np.diff(w) >= -1e-3)
+    assert np.max(np.abs(np.sort(w) - ref)) / np.abs(ref).max() < 1e-4
+    assert (
+        np.abs(A @ V - V * w[None, :]).max() / np.abs(ref).max() < 1e-3
+    )
+    assert np.abs(np.conj(V.T) @ V - np.eye(n)).max() < 1e-3
