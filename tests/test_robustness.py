@@ -158,3 +158,55 @@ def test_svd_batch_mixed_spectra(rng):
         )
         rec = np.asarray(U[i]) @ np.diag(np.asarray(s[i])) @ np.asarray(Vh[i])
         np.testing.assert_allclose(rec, As[i], atol=5e-5 * want[0])
+
+
+def test_jacobi_edge_cases(rng):
+    # the Jacobi family on the degenerate inputs the other models cover
+    from svdsolver_tpu import svd_jacobi
+
+    n = 32
+    Z = jnp.zeros((n, n), jnp.float32)
+    U, s, Vh = (np.asarray(x) for x in svd_jacobi(Z))
+    assert np.all(s == 0)
+    I = jnp.eye(n, dtype=jnp.float32)
+    _, s1, _ = (np.asarray(x) for x in svd_jacobi(I))
+    assert np.max(np.abs(s1 - 1)) < 1e-5
+    # rank-one
+    u = rng.normal(size=(n, 1))
+    A = jnp.asarray((u @ u.T).astype(np.float32))
+    U, s, Vh = (np.asarray(x) for x in svd_jacobi(A))
+    ref = np.linalg.svd(np.asarray(A, np.float64), compute_uv=False)
+    assert np.max(np.abs(s - ref)) / ref[0] < 1e-4
+    An = np.asarray(A)
+    assert np.abs(U @ np.diag(s) @ Vh - An).max() / np.abs(An).max() < 1e-4
+    # duplicate singular values (orthogonal matrix scaled)
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    _, s2, _ = (np.asarray(x) for x in svd_jacobi(jnp.asarray((3 * Q).astype(np.float32))))
+    assert np.max(np.abs(s2 - 3)) < 1e-4
+
+
+def test_complex_edge_cases(rng):
+    from svdsolver_tpu.models.complex_svd import svdvals_c, svd_c
+
+    n = 24
+    # zero matrix
+    s = np.asarray(svdvals_c(np.zeros((n, n), np.complex64)))
+    assert np.all(s == 0)
+    # pure-imaginary matrix: sigma equal to the real matrix it scales
+    R = rng.normal(size=(n, n))
+    s1 = np.asarray(svdvals_c((1j * R).astype(np.complex64)))
+    ref = np.linalg.svd(R, compute_uv=False)
+    assert np.max(np.abs(s1 - ref)) / ref[0] < 1e-5
+    # rank-deficient complex
+    u = (rng.normal(size=(n, 2)) + 1j * rng.normal(size=(n, 2)))
+    v = (rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n)))
+    A = (u @ v).astype(np.complex64)
+    U, s2, Vh = svd_c(A)
+    s2 = np.asarray(s2)
+    refr = np.linalg.svd(A.astype(np.complex128), compute_uv=False)
+    assert np.max(np.abs(s2 - refr)) / refr[0] < 1e-4
+    assert np.abs(U @ np.diag(s2) @ Vh - A).max() / np.abs(A).max() < 1e-4
+    # unitary diagonal phases: all sigma exactly 1
+    ph = np.exp(1j * rng.uniform(0, 2 * np.pi, n)).astype(np.complex64)
+    s3 = np.asarray(svdvals_c(np.diag(ph)))
+    assert np.max(np.abs(s3 - 1)) < 1e-5
