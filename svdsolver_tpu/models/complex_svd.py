@@ -223,8 +223,41 @@ def _cset_col(M, j, v):
     return (M[0].at[:, j].set(v[0]), M[1].at[:, j].set(v[1]))
 
 
-@functools.partial(jax.jit, static_argnames=("panel",))
+def _clarft(V, taus, b):
+    """Forward compact-WY T (split pair, (b, b) upper triangular) for the
+    reflector product ``H_1 ... H_b = I - V T V^H`` (LAPACK zlarft).
+
+    ``V``: (m, b) pair of panel reflectors; ``taus``: (b,) pair.  Recurrence
+    per column j: ``T[:j, j] = -tau_j T[:j, :j] (V^H v_j)[:j]``,
+    ``T[j, j] = tau_j``.
+    """
+    dtype = V[0].dtype
+    zero = jnp.zeros((), dtype)
+    T0 = (jnp.zeros((b, b), dtype), jnp.zeros((b, b), dtype))
+    jidx = jnp.arange(b)
+
+    def body(j, T):
+        vj = (V[0][:, j], V[1][:, j])
+        w = _cmatvec_h(V, vj)  # (b,) = V^H v_j
+        w = (
+            jnp.where(jidx < j, w[0], zero),
+            jnp.where(jidx < j, w[1], zero),
+        )
+        tj = (taus[0][j], taus[1][j])
+        col = _cscale((-tj[0], -tj[1]), _cmatvec(T, w))
+        col = (col[0].at[j].set(tj[0]), col[1].at[j].set(tj[1]))
+        return _cset_col(T, j, col)
+
+    return lax.fori_loop(0, b, body, T0)
+
+
 def bidiagonalize_blocked_c(Ar, Ai, panel=32):
+    """Blocked split-complex bidiagonalization: (d, e) real (see below)."""
+    return _bidiagonalize_blocked_c(Ar, Ai, panel=panel, uv=False)
+
+
+@functools.partial(jax.jit, static_argnames=("panel", "uv"))
+def _bidiagonalize_blocked_c(Ar, Ai, panel=32, uv=False):
     """Blocked split-complex bidiagonalization (zlabrd class): (d, e) real.
 
     Complex port of :func:`~svdsolver_tpu.models.blocked.bidiagonalize_blocked`
@@ -244,17 +277,25 @@ def bidiagonalize_blocked_c(Ar, Ai, panel=32):
     zero = jnp.zeros((), dtype)
     d0 = jnp.zeros((n,), dtype)
     e0 = jnp.zeros((n,), dtype)  # slot n-1 is scratch
+    if uv:
+        Uacc0 = (jnp.eye(m, dtype=dtype), jnp.zeros((m, m), dtype))
+        Vh0 = (jnp.eye(n, dtype=dtype), jnp.zeros((n, n), dtype))
+    else:
+        Uacc0 = (jnp.zeros((1, 1), dtype),) * 2
+        Vh0 = (jnp.zeros((1, 1), dtype),) * 2
 
     def panel_body(k, carry):
-        A, d, e = carry
+        A, d, e, Uacc, Vh = carry
         c = k * b
         V = (jnp.zeros((m, b), dtype), jnp.zeros((m, b), dtype))
         Y = (jnp.zeros((n, b), dtype), jnp.zeros((n, b), dtype))
         X = (jnp.zeros((m, b), dtype), jnp.zeros((m, b), dtype))
         U = (jnp.zeros((n, b), dtype), jnp.zeros((n, b), dtype))
+        tl0 = (jnp.zeros((b,), dtype), jnp.zeros((b,), dtype))
+        tr0 = (jnp.zeros((b,), dtype), jnp.zeros((b,), dtype))
 
         def col_body(j, pcarry):
-            V, Y, X, U, d, e = pcarry
+            V, Y, X, U, d, e, tl, tr = pcarry
             g = c + j
             g_ok = g < n
             gc = jnp.minimum(g, n - 1)
@@ -313,15 +354,37 @@ def bidiagonalize_blocked_c(Ar, Ai, panel=32):
             x = _cscale(tau_r, Au)
             X = _cset_col(X, j, x)
             U = _cset_col(U, j, u)
-            return V, Y, X, U, d, e
+            tl = (tl[0].at[j].set(tau[0]), tl[1].at[j].set(tau[1]))
+            tr = (tr[0].at[j].set(tau_r[0]), tr[1].at[j].set(tau_r[1]))
+            return V, Y, X, U, d, e, tl, tr
 
-        V, Y, X, U, d, e = lax.fori_loop(0, b, col_body, (V, Y, X, U, d, e))
+        V, Y, X, U, d, e, tl, tr = lax.fori_loop(
+            0, b, col_body, (V, Y, X, U, d, e, tl0, tr0)
+        )
         # Deferred trailing update: A -= V Y^H + X U^H (complex GEMMs).
         A = _csub(A, _cmatmul(V, (Y[0].T, -Y[1].T)))
         A = _csub(A, _cmatmul(X, (U[0].T, -U[1].T)))
-        return A, d, e
+        if uv:
+            # U <- U (H_1...H_b) = U (I - V TL V^H);  per-column convention
+            # matches the GK uv path (A <- H^H A, U <- U H).
+            TL = _clarft(V, tl, b)
+            UV = _cmatmul(Uacc, V)
+            Uacc = _csub(
+                Uacc, _cmatmul(_cmatmul(UV, TL), (V[0].T, -V[1].T))
+            )
+            # Vh <- (G_1...G_b)^H Vh = Vh - U TR^H (U^H Vh)
+            TR = _clarft(U, tr, b)
+            W = _cmatmul((U[0].T, -U[1].T), Vh)  # U^H Vh (b, n)
+            Vh = _csub(
+                Vh, _cmatmul(_cmatmul(U, (TR[0].T, -TR[1].T)), W)
+            )
+        return A, d, e, Uacc, Vh
 
-    A, d, e = lax.fori_loop(0, n_panels, panel_body, ((Ar, Ai), d0, e0))
+    A, d, e, Uacc, Vh = lax.fori_loop(
+        0, n_panels, panel_body, ((Ar, Ai), d0, e0, Uacc0, Vh0)
+    )
+    if uv:
+        return d, e[: n - 1], Uacc, Vh
     return d, e[: n - 1]
 
 
@@ -341,11 +404,11 @@ def _split(A):
 
 
 def _join(pair):
-    """(re, im) jax pair -> host numpy complex array."""
+    """(re, im) jax pair -> host numpy complex array (ONE stacked D2H)."""
     import numpy as np
 
-    re, im = (np.asarray(x) for x in pair)
-    return re + 1j * im
+    X = np.asarray(jnp.stack(pair))
+    return X[0] + 1j * X[1]
 
 
 def svdvals_c(A):
@@ -393,13 +456,28 @@ def svd_c(A):
         if pairs_in:
             return U, s, Vh
         return _join(U), s, _join(Vh)
+    # one jitted core: eager composition costs a tunnel round-trip per op
+    # (measured 355 ms vs ~95 ms of actual device work at n=512)
+    Us, s, Vs = _svd_c_core(*pair)
+    U = (Us[0], Us[1])
+    Vh = (Vs[0], Vs[1])
+    if pairs_in:
+        return U, s, Vh
+    return _join(U), s, _join(Vh)
+
+
+@jax.jit
+def _svd_c_core(pr, pi):
     from svdsolver_tpu.models.vectors import bidiagonal_svd
 
-    d, e, U1, Vh1 = _bidiagonalize_gk_c(*pair, uv=True)
+    n = pr.shape[1]
+    if n >= 1536:  # measured uv crossover (2048: blocked 189 vs GK 298 ms)
+        d, e, U1, Vh1 = _bidiagonalize_blocked_c(pr, pi, uv=True)
+    else:
+        d, e, U1, Vh1 = _bidiagonalize_gk_c(pr, pi, uv=True)
     U_b, s, V_b = bidiagonal_svd(d, e)  # real factors of the bidiagonal
     zb = jnp.zeros_like(U_b)
     U = _cmatmul((U1[0][:, :n], U1[1][:, :n]), (U_b, zb))
     Vh = _cmatmul((V_b.T, jnp.zeros_like(V_b.T)), Vh1)
-    if pairs_in:
-        return U, s, Vh
-    return _join(U), s, _join(Vh)
+    # stacked outputs: one D2H per factor instead of two
+    return jnp.stack(U), s, jnp.stack(Vh)

@@ -128,3 +128,20 @@ def test_eigh_hermitian_complex(rng):
         np.abs(A @ V - V * w[None, :]).max() / np.abs(ref).max() < 1e-3
     )
     assert np.abs(np.conj(V.T) @ V - np.eye(n)).max() < 1e-3
+
+
+def test_bidiagonalize_blocked_c_uv(rng):
+    # factor-accumulating blocked variant: A = U B Vh with unitary factors
+    from svdsolver_tpu.models.complex_svd import _bidiagonalize_blocked_c
+
+    n = 48
+    A = (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))).astype(
+        np.complex64
+    )
+    d, e, U, Vh = _bidiagonalize_blocked_c(*_split(A), panel=16, uv=True)
+    Un = np.asarray(U[0]) + 1j * np.asarray(U[1])
+    Vhn = np.asarray(Vh[0]) + 1j * np.asarray(Vh[1])
+    B = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+    assert np.abs(Un @ B @ Vhn - A).max() / np.abs(A).max() < 1e-5
+    assert np.abs(np.conj(Un.T) @ Un - np.eye(n)).max() < 1e-5
+    assert np.abs(Vhn @ np.conj(Vhn.T) - np.eye(n)).max() < 1e-5
