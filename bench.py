@@ -161,6 +161,60 @@ def main():
     except Exception as exc:
         print(f"full-svd bench failed: {exc}", file=sys.stderr)
 
+    # ---- Jacobi relative accuracy on a graded spectrum (fp32: 6 decades) --
+    jac_err = jac_s = None
+    try:
+        from svdsolver_tpu import svd_jacobi
+        from svdsolver_tpu.utils.timing import sync
+
+        JN = 512
+        # 6 decades: the fp32 limit (12-decade relative accuracy needs
+        # f64 — demonstrated in tests/test_jacobi.py on the emulated-f64 path)
+        g = rng.normal(size=(JN, JN)) @ np.diag(np.logspace(0, -6, JN))
+        Aj = jnp.asarray(g.astype(np.float32))
+        out = svd_jacobi(Aj)
+        sync(out[1])
+        jac_s = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = svd_jacobi(Aj)
+            sync(out[1])
+            jac_s = min(jac_s, time.perf_counter() - t0)
+        refj = np.linalg.svd(np.asarray(Aj, np.float64), compute_uv=False)
+        jac_err = float(np.max(np.abs(np.asarray(out[1]) - refj) / refj))
+        print(
+            f"jacobi graded {JN}^2: {jac_s:.3f}s max RELATIVE err {jac_err:.2e}",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"jacobi bench failed: {exc}", file=sys.stderr)
+
+    # ---- complex SVD (split re/im — no complex dtype on this backend) ---
+    cx_s = cx_err = None
+    try:
+        from svdsolver_tpu.models.complex_svd import svd_c
+
+        CN = 512
+        Ac = (
+            rng.normal(size=(CN, CN)) + 1j * rng.normal(size=(CN, CN))
+        ).astype(np.complex64)
+        Uc, sc, Vhc = svd_c(Ac)  # compile
+        cx_s = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            Uc, sc, Vhc = svd_c(Ac)
+            cx_s = min(cx_s, time.perf_counter() - t0)
+        cx_err = float(
+            np.abs(Uc @ np.diag(np.asarray(sc)) @ Vhc - Ac).max()
+            / np.abs(Ac).max()
+        )
+        print(
+            f"complex svd {CN}^2: {cx_s:.3f}s recon {cx_err:.2e}",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"complex bench failed: {exc}", file=sys.stderr)
+
     line = {
         "metric": f"stage1_dense_to_band_N{N}_band{BAND}_fp32_wallclock",
         "value": round(t, 4),
@@ -179,6 +233,12 @@ def main():
     if svd_s is not None:
         line["full_svd_N2048_fp32_s"] = round(svd_s, 4)
         line["full_svd_N2048_max_recon_rel_err"] = float(f"{svd_err:.3e}")
+    if jac_err is not None:
+        line["jacobi_graded6dec_N512_s"] = round(jac_s, 4)
+        line["jacobi_graded6dec_max_RELATIVE_err"] = float(f"{jac_err:.3e}")
+    if cx_s is not None:
+        line["complex_svd_N512_s"] = round(cx_s, 4)
+        line["complex_svd_N512_recon_rel_err"] = float(f"{cx_err:.3e}")
     print(json.dumps(line))
 
 
