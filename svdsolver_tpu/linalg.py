@@ -171,7 +171,10 @@ def eigh(A, method="tpu2"):
     m, n = A.shape
     if m != n:
         raise ValueError(f"eigh expects a square symmetric matrix, got {A.shape}")
-    if np.iscomplexobj(A):  # Hermitian: same shift trick via the complex SVD
+    if np.iscomplexobj(A):
+        # Hermitian: same shift trick via the complex SVD.  Note: the complex
+        # branch returns NUMPY arrays (no complex dtype exists on this TPU
+        # backend) and ignores ``method`` (svd_c has one pipeline).
         from svdsolver_tpu.models.complex_svd import svd_c
 
         A = np.asarray(A)

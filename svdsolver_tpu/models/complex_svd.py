@@ -459,11 +459,14 @@ def svd_c(A):
     # one jitted core: eager composition costs a tunnel round-trip per op
     # (measured 355 ms vs ~95 ms of actual device work at n=512)
     Us, s, Vs = _svd_c_core(*pair)
-    U = (Us[0], Us[1])
-    Vh = (Vs[0], Vs[1])
     if pairs_in:
-        return U, s, Vh
-    return _join(U), s, _join(Vh)
+        return (Us[0], Us[1]), s, (Vs[0], Vs[1])
+    # the core's outputs are already (2, ...)-stacked: one D2H each
+    import numpy as np
+
+    Un = np.asarray(Us)
+    Vn = np.asarray(Vs)
+    return Un[0] + 1j * Un[1], s, Vn[0] + 1j * Vn[1]
 
 
 @jax.jit

@@ -139,6 +139,12 @@ def svdvals(A, method="tpu2", block=None, diag="bisect"):
     import numpy as _np
 
     if _np.iscomplexobj(A):  # host numpy complex; no complex dtype on TPU
+        if method != "tpu2" or diag != "bisect":
+            raise ValueError(
+                "complex input supports only method='tpu2', diag='bisect' "
+                f"(got method={method!r}, diag={diag!r}); call "
+                "svdsolver_tpu.models.complex_svd.svdvals_c directly"
+            )
         from svdsolver_tpu.models.complex_svd import svdvals_c
 
         return svdvals_c(A)

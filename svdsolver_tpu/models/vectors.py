@@ -660,6 +660,12 @@ def svd(A, panel=32, method="tpu2", band=None):
     import numpy as _np
 
     if _np.iscomplexobj(A):  # host numpy complex; no complex dtype on TPU
+        if method != "tpu2":
+            raise ValueError(
+                f"complex input supports only the default pipeline "
+                f"(got method={method!r}); call "
+                f"svdsolver_tpu.models.complex_svd.svd_c directly"
+            )
         from svdsolver_tpu.models.complex_svd import svd_c
 
         return svd_c(A)

@@ -700,7 +700,8 @@ def wave_chase_supported(n, band):
     Npad = -(-(n + 3 * b + 8) // 128) * 128
     if Npad * D * 4 > 14 * 1024 * 1024:
         return False
-    return n >= 2 and _n_lanes(n, b) <= 128
+    # + 1: the head rides lane slot L of the batched larfg buffers
+    return n >= 2 and _n_lanes(n, b) + 1 <= 128
 
 
 def _rec_spad(n, b):
