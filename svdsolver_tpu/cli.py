@@ -13,11 +13,13 @@ in the reference's schema.
 
 Check mode (reference: svd_cuda_2.cu:1296-1347):
 
-    python -m svdsolver_tpu check {64|512} [--band 4] [--dtype float|double]
+    python -m svdsolver_tpu check {64|512|1024} [--band 4] [--dtype float|double]
 
 reads the shipped fixture, runs the two-stage Stage-I reduction with band=4,
 reports band-limited MSE vs the ``band_*`` fixture, then fully bidiagonalizes
-and reports MSE vs the ``bidiagonal_*`` fixture.
+and reports MSE vs the ``bidiagonal_*`` fixture.  Size 1024 (which the
+reference README advertises but ships no fixture for) is generated once by
+the native C++ oracle and cached — a true cross-implementation check.
 """
 
 import argparse
@@ -154,6 +156,10 @@ def cmd_check(args):
 
     n = args.size
     dtype = np.float64 if args.dtype == "double" else np.float32
+    if n == 1024:
+        # not shipped by the reference (its README advertises check 1024
+        # with no fixture); generated once by the native C++ oracle
+        fx.ensure_generated_fixtures(n, dtype, band=args.band)
     A0 = fx.load_fixture("test", n, dtype)
     sig_ref = np.linalg.svd(A0.astype(np.float64), compute_uv=False)
     tol = 1e-5 if dtype == np.float32 else 1e-10
@@ -291,7 +297,7 @@ def main(argv=None):
     pb.set_defaults(fn=cmd_bench)
 
     pc = sub.add_parser("check", help="fixture correctness check")
-    pc.add_argument("size", type=int, choices=[64, 512])
+    pc.add_argument("size", type=int, choices=[64, 512, 1024])
     pc.add_argument("--band", type=int, default=4)
     pc.add_argument("--dtype", choices=["float", "double"], default="float")
     pc.add_argument(

@@ -56,3 +56,35 @@ def band_mse(A, B, band):
     mask = (j - i >= 0) & (j - i <= band)
     diff = np.abs(A[mask]) - np.abs(B[mask])
     return float(np.mean(diff * diff))
+
+
+def ensure_generated_fixtures(n, dtype=np.float32, band=4, seed=586, data_dir=None):
+    """Generate missing {test, band, bidiagonal} fixtures with the NATIVE
+    C++ ladder (utils/native) and cache them under data/.
+
+    The reference README advertises ``check 1024`` but ships no 1024
+    fixture (reference README.md:116 vs data/); here any size can be
+    checked, with the band/bidiagonal references produced by the
+    *independent* C++ implementation — so the check stays a genuine
+    cross-implementation differential, exactly the reference's own test
+    philosophy (CPU-as-oracle, SURVEY.md section 4).  Deterministic: seeded
+    uniform [0, 5] test matrix (the reference generator's distribution,
+    svd_cpu.cpp:55).
+    """
+    paths = {
+        k: fixture_path(k, n, dtype, data_dir)
+        for k in ("test", "band", "bidiagonal")
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return
+    from svdsolver_tpu.utils import native
+
+    rng = np.random.default_rng(seed)
+    A = rng.uniform(0.0, 5.0, size=(n, n)).astype(dtype)
+    write_matrix(paths["test"], A)
+    Ab = native.dense_to_band(A, band)
+    write_matrix(paths["band"], Ab)
+    d, e = native.band_to_bidiag(Ab.copy(), band)
+    write_matrix(
+        paths["bidiagonal"], np.diag(d) + np.diag(e, 1)
+    )  # fixtures store the full bidiagonal matrix (reference layout)

@@ -117,3 +117,31 @@ def test_svd_subcommand(tmp_path):
     s4 = np.fromfile(pre + "_s.bin", dtype=np.float32)
     assert s4.shape == (4,)
     np.testing.assert_allclose(s4, want[:4], rtol=2e-4, atol=1e-5 * want[0])
+
+
+def test_generated_fixtures_native(tmp_path, rng):
+    # fixtures for unshipped sizes come from the native C++ oracle and are
+    # a genuine cross-implementation differential vs the JAX reduction
+    import pytest
+    import numpy as np
+    import jax.numpy as jnp
+
+    from svdsolver_tpu.utils import fixtures as fx
+
+    try:
+        from svdsolver_tpu.utils.native import get_lib
+
+        get_lib()
+    except Exception:
+        pytest.skip("native library unavailable")
+    n, band = 96, 4
+    fx.ensure_generated_fixtures(n, band=band, data_dir=str(tmp_path))
+    A0 = fx.load_fixture("test", n, data_dir=str(tmp_path))
+    band_ref = fx.load_fixture("band", n, data_dir=str(tmp_path))
+    from svdsolver_tpu.models.two_stage import dense_to_band
+
+    Ab = np.asarray(dense_to_band(jnp.asarray(A0), band=band))
+    assert fx.band_mse(Ab, band_ref, band) < 1e-3
+    sig = np.linalg.svd(band_ref.astype(np.float64), compute_uv=False)
+    ref = np.linalg.svd(A0.astype(np.float64), compute_uv=False)
+    assert np.max(np.abs(sig - ref)) / ref[0] < 1e-5
