@@ -136,10 +136,13 @@ def main():
             rng.normal(size=(SN, SN)).astype(np.float32)
         )
 
+        fsvd = jax.jit(svd)  # the public svd() is jit-compatible
+
         def run_svd(x):
-            out = svd(x)
-            for o in out:  # platform-correct completion barrier
-                sync(o)
+            out = fsvd(x)
+            # one output of the single jitted program syncs the whole call
+            # (eager composition would need one RTT per output)
+            sync(out[1])
             return out
 
         run_svd(Asv)  # compile
