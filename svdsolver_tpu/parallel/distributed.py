@@ -240,7 +240,209 @@ def _stage1_local(A_loc, *, n, b, n_loc, uv=False):
     return (A_loc, U1_loc, V1_loc) if uv else A_loc
 
 
-def svdvals_sharded(A, mesh, band=32):
+def band_to_bidiagonal_pipelined(A, mesh, band=32, sweeps_per_group=None):
+    """Stage II band->bidiagonal, multi-chip: a pipelined bulge chase over
+    row-sharded devices.  Returns ``(d, e)`` bitwise-equal to the local
+    :func:`~svdsolver_tpu.models.two_stage.band_to_bidiagonal`.
+
+    The reference's chase (brd_p2, svd_parallel.h:639) is strictly
+    sequential; the single-chip TPU kernels pipeline sweeps 3 chase-slots
+    apart (the wavefront disjointness proof, models/two_stage.py:366).  This
+    is the *multi-chip* form of that schedule — the ELPA-style distributed
+    chase, built from three invariants:
+
+    * **Row ownership**: device ``d`` owns padded rows ``[d*m, (d+1)*m)``
+      (full column width) plus an upper halo of ``U = 3*step*(LG-1)`` rows
+      and a lower halo of ``ww`` rows (``ww`` = window edge ``2*band``).
+    * **Staggered frontiers**: sweeps advance in groups of ``LG``; within a
+      pass over device ``d``, the ``l``-th sweep of the group stops its
+      frontier at row ``(d+1)*m - 3*step*l``, so at every hand-off the
+      group's sweeps keep the 3-slot spacing that makes all pending windows
+      disjoint.  Each device's pass therefore replays exactly the
+      sequential window sequence (each window sees dependency-complete
+      inputs -> bitwise-equal reflectors).
+    * **2-superstep pipelining**: group ``g`` runs on device ``d`` at
+      superstep ``2g + d``, so adjacent devices are never active together
+      and every boundary block ``[d*m - U, d*m + ww)`` has a unique writer
+      per superstep.  After each superstep the two boundary blocks move by
+      nearest-neighbor ``ppermute`` (one up + one down, riding ICI), which
+      restores the invariant that all replicas of a row agree.
+
+    Pipeline efficiency approaches ``P/2`` (P devices, ``2*ceil((n-1)/LG)
+    + P - 1`` supersteps); per-superstep traffic is two ``(U + ww, Np)``
+    blocks between neighbors — independent of n's leading dimension.
+    """
+    from jax import shard_map
+
+    n = A.shape[0]
+    dtype = A.dtype
+    b = int(band)
+    w = b + 1
+    step = w - 1
+    ww = 2 * w - 2
+    n_dev = int(mesh.shape["tp"])
+    if n < 2:
+        return jnp.abs(jnp.diag(A)), jnp.zeros((0,), dtype)
+
+    # Geometry: m rows per device; LG sweeps per group, bounded so the
+    # staggered frontiers plus one window fit inside one device's rows.
+    m_base = -(-(n + 2 * w + 2) // n_dev)
+    if sweeps_per_group is None:
+        LG = max(1, min((m_base - ww) // (3 * step) + 1, 64))
+    else:
+        LG = max(1, int(sweeps_per_group))
+    U = 3 * step * (LG - 1)
+    m = max(m_base, U + ww)
+    Np = n_dev * m
+    if U + ww > m:
+        raise ValueError(
+            f"sweeps_per_group={LG} too large for n={n}, P={n_dev}, band={b}"
+        )
+    NG = -(-(n - 1) // LG)  # sweep groups
+    T = 2 * NG + n_dev - 1  # supersteps
+    # chase slots one device can hold per sweep (last device adds the U
+    # stagger span and the zero-pad tail)
+    S_chase = (m + U + 2 * w + 2) // step + 2
+
+    Ap = jnp.pad(A, ((0, Np - n), (0, Np - n)))
+
+    def top_pair(W):
+        v, tau, _ = householder_vector(W[0, : w - 1], 0)
+        Wr = W[:, : w - 1]
+        W = W.at[:, : w - 1].set(Wr - tau * jnp.outer(pdot(Wr, v), v))
+        v2, tau2, _ = householder_vector(W[1:, 0], 0)
+        Ws = W[1:, :]
+        W = W.at[1:, :].set(Ws - tau2 * jnp.outer(v2, pdot(v2, Ws)))
+        return W
+
+    def chase_pair(W):
+        v, tau, _ = householder_vector(W[0, : w - 1], 0)
+        Wr = W[:, : w - 1]
+        W = W.at[:, : w - 1].set(Wr - tau * jnp.outer(pdot(Wr, v), v))
+        v2, tau2, _ = householder_vector(W[w - 1 :, 0], 0)
+        Ws = W[w - 1 :, :]
+        W = W.at[w - 1 :, :].set(Ws - tau2 * jnp.outer(v2, pdot(v2, Ws)))
+        return W
+
+    def body(A_loc):  # (m, Np) local row block
+        d = jax.lax.axis_index("tp")
+        R0 = d * m  # first owned (padded-global) row
+        last = d == n_dev - 1
+        # Local buffer: [upper halo U | own m | lower halo ww | dummy ww].
+        # Halos start zero for d==0 / d==P-1 (they map to no rows, never
+        # read) and are synchronized by the boundary exchange otherwise;
+        # the initial input is globally consistent, so pulling each halo
+        # from the neighbours' (identical) initial shard via one ppermute
+        # seeds the invariant.
+        L = jnp.zeros((U + m + 2 * ww, Np), dtype)
+        L = lax.dynamic_update_slice(L, A_loc, (U, 0))
+        if n_dev > 1:
+            up0 = jax.lax.ppermute(
+                A_loc[:ww], "tp", [(i + 1, i) for i in range(n_dev - 1)]
+            )
+            L = lax.dynamic_update_slice(L, up0, (U + m, 0))
+            if U > 0:
+                dn0 = jax.lax.ppermute(
+                    A_loc[m - U :], "tp",
+                    [(i, i + 1) for i in range(n_dev - 1)],
+                )
+                L = lax.dynamic_update_slice(L, dn0, (0, 0))
+        dz_r = jnp.int32(U + m + ww)  # dummy zone: zero rows, no-op windows
+        zero = jnp.int32(0)
+
+        def active(t, dev):
+            q = t - dev
+            return (q >= 0) & (q % 2 == 0) & (q // 2 < NG)
+
+        def run_sweep(l, carry):
+            L, g = carry
+            i = g * LG + l  # global sweep index (unpadded coords)
+            lo = R0 - l * 3 * step
+            hi = jnp.where(last, jnp.int32(Np), R0 + m - l * 3 * step)
+            ok_sweep = i <= n - 2
+            n_chase = (
+                lax.max(
+                    jnp.int32(0),
+                    -(-(jnp.int32(n) - (i + 2 * w - 1)) // step),
+                )
+                + 1
+            )
+            # top slot (row i)
+            okt = ok_sweep & (i >= lo) & (i < hi)
+            tr = jnp.where(okt, i - R0 + U, dz_r)
+            tc = jnp.where(okt, i + 1, zero)
+            Wt = lax.dynamic_slice(L, (tr, tc), (w, ww))
+            L = lax.dynamic_update_slice(L, top_pair(Wt), (tr, tc))
+            # chase slots with start row in [lo, hi)
+            k0 = lax.max(jnp.int32(0), (lo - i - 1 + step - 1) // step)
+
+            def slot(s, L):
+                k = k0 + s
+                r = i + 1 + k * step
+                ok = ok_sweep & (k < n_chase) & (r >= lo) & (r < hi)
+                lr = jnp.where(ok, r - R0 + U, dz_r)
+                lc = jnp.where(ok, r + step, zero)
+                W = lax.dynamic_slice(L, (lr, lc), (ww, ww))
+                return lax.dynamic_update_slice(L, chase_pair(W), (lr, lc))
+
+            L = lax.fori_loop(0, S_chase, slot, L)
+            return L, g
+
+        def superstep(t, L):
+            g = (t - d) // 2
+            act = active(t, d)
+            # masked pass: inactive devices redirect every window to the
+            # dummy zone by faking an out-of-range group
+            g_eff = jnp.where(act, g, jnp.int32(n))  # i > n-2 -> all no-ops
+            L, _ = lax.fori_loop(0, LG, run_sweep, (L, g_eff))
+            if n_dev == 1:
+                return L
+            # boundary exchange: block X_b = rows [b*m - U, b*m + ww)
+            blk = U + ww
+            down = jax.lax.ppermute(
+                lax.dynamic_slice(L, (jnp.int32(m), zero), (blk, Np)),
+                "tp",
+                [(i, i + 1) for i in range(n_dev - 1)],
+            )
+            up = jax.lax.ppermute(
+                lax.dynamic_slice(L, (zero, zero), (blk, Np)),
+                "tp",
+                [(i + 1, i) for i in range(n_dev - 1)],
+            )
+            took_down = (d >= 1) & active(t, d - 1)
+            took_up = (d <= n_dev - 2) & active(t, d + 1)
+            cur_head = lax.dynamic_slice(L, (zero, zero), (blk, Np))
+            cur_tail = lax.dynamic_slice(L, (jnp.int32(m), zero), (blk, Np))
+            L = lax.dynamic_update_slice(
+                L, jnp.where(took_down, down, cur_head), (zero, zero)
+            )
+            L = lax.dynamic_update_slice(
+                L, jnp.where(took_up, up, cur_tail), (jnp.int32(m), zero)
+            )
+            return L
+
+        L = lax.fori_loop(0, T, superstep, L)
+        own = lax.dynamic_slice(L, (jnp.int32(U), zero), (m, Np))
+        cols = jnp.minimum(R0 + jnp.arange(m), Np - 1)
+        d_loc = jnp.take_along_axis(own, cols[:, None], axis=1)[:, 0]
+        e_loc = jnp.take_along_axis(
+            own, jnp.minimum(cols + 1, Np - 1)[:, None], axis=1
+        )[:, 0]
+        return d_loc, e_loc
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P("tp", None),
+        out_specs=(P("tp"), P("tp")),
+        check_vma=False,
+    )
+    Ap = jax.device_put(Ap, NamedSharding(mesh, P("tp", None)))
+    d_full, e_full = fn(Ap)
+    return d_full[:n], e_full[: n - 1]
+
+
+def svdvals_sharded(A, mesh, band=32, stage2="local"):
     """Singular values of ONE large square matrix, multi-chip.
 
     Composition: Stage I runs sharded over the mesh's ``tp`` axis with
@@ -248,12 +450,19 @@ def svdvals_sharded(A, mesh, band=32):
     part), then the small band matrix is replicated (one all-gather of
     n*(band+1) values) and Stage II + bisection run locally — the band and
     bidiagonal stages are memory-latency-bound and tiny, so sharding them
-    would only add ICI latency.
+    would only add ICI latency at the sizes one chip's HBM can hold.
+
+    ``stage2="pipelined"`` instead runs the chase row-sharded across the
+    mesh (:func:`band_to_bidiagonal_pipelined`) — the fully-distributed
+    pipeline for matrices too large to replicate on one chip.
     """
     n = A.shape[0]
     Ab = dense_to_band_shardmap(A, mesh, band=band)
-    Ab = jax.device_put(Ab, NamedSharding(mesh, P()))  # replicate the band
-    d, e = band_to_bidiagonal(Ab, band=band)
+    if stage2 == "pipelined":
+        d, e = band_to_bidiagonal_pipelined(Ab, mesh, band=band)
+    else:
+        Ab = jax.device_put(Ab, NamedSharding(mesh, P()))  # replicate band
+        d, e = band_to_bidiagonal(Ab, band=band)
     return bisect_svdvals(d, e)[:n]
 
 
@@ -389,6 +598,14 @@ def dryrun(n_devices: int, platform=None) -> None:
     sig1 = np.asarray(jax.block_until_ready(svdvals_sharded(A0, mesh, band=band)))
     err1 = float(np.max(np.abs(sig1 - s_ref)) / s_ref[0])
     assert err1 < 1e-4, f"svdvals_sharded mismatch vs LAPACK: {err1}"
+    # fully-distributed pipeline: Stage II as the pipelined multi-chip chase
+    sig2 = np.asarray(
+        jax.block_until_ready(
+            svdvals_sharded(A0, mesh, band=band, stage2="pipelined")
+        )
+    )
+    err2 = float(np.max(np.abs(sig2 - s_ref)) / s_ref[0])
+    assert err2 < 1e-4, f"pipelined stage-II mismatch vs LAPACK: {err2}"
     # sharded single-matrix FULL SVD (factor accumulation + back-transform)
     U, sv, Vh = (
         np.asarray(jax.block_until_ready(x))
