@@ -181,6 +181,42 @@ def dense_to_band_uv(A, band=32):
     return lax.fori_loop(0, n // b, step, (A, U0, Vc0))
 
 
+def make_window_pairs(w, record=False):
+    """Build the two Stage-II window kernels for window parameter ``w``
+    (= band + 1): ``top_pair`` opens a sweep (right-elim row 0 over cols
+    [0, w-1), then left-elim rows [1, w)), ``chase_pair`` advances the bulge
+    (right-elim row 0 over cols [0, w-1), then left-elim rows [w-1, 2w-2)).
+
+    Shared by every consumer of the sequential chase schedule — the local
+    chase, the recording chase, the wavefront schedule, and the multi-chip
+    pipelined chase (parallel/distributed.py) — so the "same reflectors as
+    the sequential chase" invariant those schedules rely on is enforced by
+    construction, not by keeping copies in sync.
+
+    With ``record=True`` each kernel also returns its reflectors:
+    ``(W, v_right, tau_right, v_left, tau_left)``.
+    """
+
+    def _pair(W, left_r0):
+        v, tau, _ = householder_vector(W[0, : w - 1], 0)
+        Wr = W[:, : w - 1]
+        W = W.at[:, : w - 1].set(Wr - tau * jnp.outer(pdot(Wr, v), v))
+        v2, tau2, _ = householder_vector(W[left_r0:, 0], 0)
+        Ws = W[left_r0:, :]
+        W = W.at[left_r0:, :].set(Ws - tau2 * jnp.outer(v2, pdot(v2, Ws)))
+        if record:
+            return W, v, tau, v2, tau2
+        return W
+
+    def top_pair(W):
+        return _pair(W, 1)
+
+    def chase_pair(W):
+        return _pair(W, w - 1)
+
+    return top_pair, chase_pair
+
+
 def _left_elim(A, r0, c0, wr, wc):
     """Householder on window column 0 (pivot = window row 0), applied from the
     left to the whole window (reference: band_rd_left, svd_parallel.h:619)."""
@@ -224,28 +260,7 @@ def band_to_bidiagonal(A, band=32):
     # Each right/left elimination pair touches two *static* subviews of one
     # combined window, so a pair costs a single dynamic slice + update —
     # halving the sequential HBM round-trips vs slicing per elimination.
-
-    def top_pair(W):
-        """W = Ap[i : i+w, i+1 : i+2w-1]: right-elim row 0 over cols [0, w-1),
-        then left-elim col 0 over rows [1, w)."""
-        v, tau, _ = householder_vector(W[0, : w - 1], 0)
-        Wr = W[:, : w - 1]
-        W = W.at[:, : w - 1].set(Wr - tau * jnp.outer(pdot(Wr, v), v))
-        v2, tau2, _ = householder_vector(W[1:, 0], 0)
-        Ws = W[1:, :]
-        W = W.at[1:, :].set(Ws - tau2 * jnp.outer(v2, pdot(v2, Ws)))
-        return W
-
-    def chase_pair(W):
-        """W = Ap[r : r+2w-2, c : c+2w-2]: right-elim row 0 over cols [0, w-1),
-        then left-elim col 0 of rows [w-1, 2w-2) over all cols."""
-        v, tau, _ = householder_vector(W[0, : w - 1], 0)
-        Wr = W[:, : w - 1]
-        W = W.at[:, : w - 1].set(Wr - tau * jnp.outer(pdot(Wr, v), v))
-        v2, tau2, _ = householder_vector(W[w - 1 :, 0], 0)
-        Ws = W[w - 1 :, :]
-        W = W.at[w - 1 :, :].set(Ws - tau2 * jnp.outer(v2, pdot(v2, Ws)))
-        return W
+    top_pair, chase_pair = make_window_pairs(w)
 
     def sweep(i, Ap):
         # Task 1 (band_rd_top): eliminate row i right of the superdiagonal,
@@ -307,23 +322,7 @@ def band_to_bidiagonal_accum(A, band=32):
     step = w - 1
     s_max = max(0, -(-(n - (2 * w - 1)) // step)) + 2  # top + max chase slots
 
-    def top_pair(W):
-        v, tau, _ = householder_vector(W[0, : w - 1], 0)
-        Wr = W[:, : w - 1]
-        W = W.at[:, : w - 1].set(Wr - tau * jnp.outer(pdot(Wr, v), v))
-        v2, tau2, _ = householder_vector(W[1:, 0], 0)
-        Ws = W[1:, :]
-        W = W.at[1:, :].set(Ws - tau2 * jnp.outer(v2, pdot(v2, Ws)))
-        return W, v, tau, v2, tau2
-
-    def chase_pair(W):
-        v, tau, _ = householder_vector(W[0, : w - 1], 0)
-        Wr = W[:, : w - 1]
-        W = W.at[:, : w - 1].set(Wr - tau * jnp.outer(pdot(Wr, v), v))
-        v2, tau2, _ = householder_vector(W[w - 1 :, 0], 0)
-        Ws = W[w - 1 :, :]
-        W = W.at[w - 1 :, :].set(Ws - tau2 * jnp.outer(v2, pdot(v2, Ws)))
-        return W, v, tau, v2, tau2
+    top_pair, chase_pair = make_window_pairs(w, record=True)
 
     def sweep(Ap, i):
         i = jnp.int32(i)
@@ -398,23 +397,7 @@ def band_to_bidiagonal_wavefront(A, band=32):
     G = (s_max + 2) // 3 + 1  # max concurrent chase lanes
     lanes = jnp.arange(G, dtype=jnp.int32)
 
-    def top_pair(W):
-        v, tau, _ = householder_vector(W[0, : w - 1], 0)
-        Wr = W[:, : w - 1]
-        W = W.at[:, : w - 1].set(Wr - tau * jnp.outer(pdot(Wr, v), v))
-        v2, tau2, _ = householder_vector(W[1:, 0], 0)
-        Ws = W[1:, :]
-        W = W.at[1:, :].set(Ws - tau2 * jnp.outer(v2, pdot(v2, Ws)))
-        return W
-
-    def chase_pair(W):
-        v, tau, _ = householder_vector(W[0, : w - 1], 0)
-        Wr = W[:, : w - 1]
-        W = W.at[:, : w - 1].set(Wr - tau * jnp.outer(pdot(Wr, v), v))
-        v2, tau2, _ = householder_vector(W[w - 1 :, 0], 0)
-        Ws = W[w - 1 :, :]
-        W = W.at[w - 1 :, :].set(Ws - tau2 * jnp.outer(v2, pdot(v2, Ws)))
-        return W
+    top_pair, chase_pair = make_window_pairs(w)
 
     def tick(t, Ap):
         # Top pair for the sweep starting this tick (at most one: t % 3 == 0).

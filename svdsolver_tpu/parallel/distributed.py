@@ -24,7 +24,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from svdsolver_tpu.ops.householder import householder_vector
 from svdsolver_tpu.ops.precision import pdot
 
-from svdsolver_tpu.models.two_stage import dense_to_band, band_to_bidiagonal
+from svdsolver_tpu.models.two_stage import (
+    dense_to_band,
+    band_to_bidiagonal,
+    make_window_pairs,
+)
 from svdsolver_tpu.models.diagonalize import bisect_svdvals
 
 
@@ -242,8 +246,15 @@ def _stage1_local(A_loc, *, n, b, n_loc, uv=False):
 
 def band_to_bidiagonal_pipelined(A, mesh, band=32, sweeps_per_group=None):
     """Stage II band->bidiagonal, multi-chip: a pipelined bulge chase over
-    row-sharded devices.  Returns ``(d, e)`` bitwise-equal to the local
-    :func:`~svdsolver_tpu.models.two_stage.band_to_bidiagonal`.
+    row-sharded devices.  Returns ``(d, e)`` — a valid bidiagonal reduction
+    of the band matrix whose SPECTRUM matches the local
+    :func:`~svdsolver_tpu.models.two_stage.band_to_bidiagonal` (up to
+    reordering roundoff; gated at ~1e-13 in f64 by
+    tests/test_distributed.py).  The entries themselves are NOT bitwise
+    equal to the sequential chase: the staggered group frontiers interleave
+    sweeps in a different (dependency-complete, hence valid) elimination
+    order, and a band matrix's bidiagonal reduction is only unique up to
+    the reflector order/signs.
 
     The reference's chase (brd_p2, svd_parallel.h:639) is strictly
     sequential; the single-chip TPU kernels pipeline sweeps 3 chase-slots
@@ -258,9 +269,9 @@ def band_to_bidiagonal_pipelined(A, mesh, band=32, sweeps_per_group=None):
       pass over device ``d``, the ``l``-th sweep of the group stops its
       frontier at row ``(d+1)*m - 3*step*l``, so at every hand-off the
       group's sweeps keep the 3-slot spacing that makes all pending windows
-      disjoint.  Each device's pass therefore replays exactly the
-      sequential window sequence (each window sees dependency-complete
-      inputs -> bitwise-equal reflectors).
+      disjoint.  Every window therefore sees dependency-complete inputs
+      (a valid reduction), though interleaved across sweeps in a different
+      order than the sequential chase (see the return-contract note above).
     * **2-superstep pipelining**: group ``g`` runs on device ``d`` at
       superstep ``2g + d``, so adjacent devices are never active together
       and every boundary block ``[d*m - U, d*m + ww)`` has a unique writer
@@ -291,13 +302,15 @@ def band_to_bidiagonal_pipelined(A, mesh, band=32, sweeps_per_group=None):
         LG = max(1, min((m_base - ww) // (3 * step) + 1, 64))
     else:
         LG = max(1, int(sweeps_per_group))
+        if 3 * step * (LG - 1) + ww > m_base:
+            raise ValueError(
+                f"sweeps_per_group={LG} too large for n={n}, P={n_dev}, "
+                f"band={b}: the staggered frontier span must fit in one "
+                f"device's {m_base} rows"
+            )
     U = 3 * step * (LG - 1)
     m = max(m_base, U + ww)
     Np = n_dev * m
-    if U + ww > m:
-        raise ValueError(
-            f"sweeps_per_group={LG} too large for n={n}, P={n_dev}, band={b}"
-        )
     NG = -(-(n - 1) // LG)  # sweep groups
     T = 2 * NG + n_dev - 1  # supersteps
     # chase slots one device can hold per sweep (last device adds the U
@@ -306,23 +319,7 @@ def band_to_bidiagonal_pipelined(A, mesh, band=32, sweeps_per_group=None):
 
     Ap = jnp.pad(A, ((0, Np - n), (0, Np - n)))
 
-    def top_pair(W):
-        v, tau, _ = householder_vector(W[0, : w - 1], 0)
-        Wr = W[:, : w - 1]
-        W = W.at[:, : w - 1].set(Wr - tau * jnp.outer(pdot(Wr, v), v))
-        v2, tau2, _ = householder_vector(W[1:, 0], 0)
-        Ws = W[1:, :]
-        W = W.at[1:, :].set(Ws - tau2 * jnp.outer(v2, pdot(v2, Ws)))
-        return W
-
-    def chase_pair(W):
-        v, tau, _ = householder_vector(W[0, : w - 1], 0)
-        Wr = W[:, : w - 1]
-        W = W.at[:, : w - 1].set(Wr - tau * jnp.outer(pdot(Wr, v), v))
-        v2, tau2, _ = householder_vector(W[w - 1 :, 0], 0)
-        Ws = W[w - 1 :, :]
-        W = W.at[w - 1 :, :].set(Ws - tau2 * jnp.outer(v2, pdot(v2, Ws)))
-        return W
+    top_pair, chase_pair = make_window_pairs(w)
 
     def body(A_loc):  # (m, Np) local row block
         d = jax.lax.axis_index("tp")
@@ -456,6 +453,8 @@ def svdvals_sharded(A, mesh, band=32, stage2="local"):
     mesh (:func:`band_to_bidiagonal_pipelined`) — the fully-distributed
     pipeline for matrices too large to replicate on one chip.
     """
+    if stage2 not in ("local", "pipelined"):
+        raise ValueError(f"stage2 must be 'local' or 'pipelined', got {stage2!r}")
     n = A.shape[0]
     Ab = dense_to_band_shardmap(A, mesh, band=band)
     if stage2 == "pipelined":

@@ -202,6 +202,27 @@ def test_pipelined_chase_matches_sequential(cpu_mesh, rng):
         assert np.max(np.abs(s1 - s0)) / ref[0] < 1e-5, (n, band)
 
 
+def test_pipelined_chase_spectrum_f64(cpu_mesh, rng):
+    # the docstring/PARITY contract, gated: in f64 the pipelined chase's
+    # bidiagonal spectrum matches the sequential chase's to ~1e-13 relative
+    # (reordering roundoff only — on the real f64 of the CPU mesh)
+    from svdsolver_tpu.parallel.distributed import band_to_bidiagonal_pipelined
+    from svdsolver_tpu.models.two_stage import dense_to_band, band_to_bidiagonal
+
+    n, band = 64, 8
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float64))
+    Ab = dense_to_band(A, band=band)
+    d0, e0 = (np.asarray(x) for x in band_to_bidiagonal(Ab, band=band))
+    d1, e1 = (
+        np.asarray(x)
+        for x in band_to_bidiagonal_pipelined(Ab, cpu_mesh, band=band)
+    )
+    assert d1.dtype == np.float64
+    s0 = np.linalg.svd(np.diag(d0) + np.diag(e0, 1), compute_uv=False)
+    s1 = np.linalg.svd(np.diag(d1) + np.diag(e1, 1), compute_uv=False)
+    assert np.max(np.abs(s1 - s0)) / s0[0] < 1e-13
+
+
 def test_pipelined_chase_group_sizes(cpu_mesh, rng):
     # explicit sweeps_per_group settings (1 = no intra-group stagger) all
     # reproduce the spectrum
