@@ -27,11 +27,18 @@ def trace(logdir="/tmp/svdsolver_trace"):
         jax.profiler.stop_trace()
 
 
-def stage_timings(A, band=None, method="tpu2", diag="bisect", warmup=True):
+def stage_timings(A, band=None, method="tpu2", diag="bisect", warmup=True,
+                  reps=5):
     """Per-stage seconds for the two-stage pipeline on ``A``; returns a dict.
 
     Stages: dense->band, band->bidiagonal, diagonalization.  The first call
     per shape compiles; ``warmup=True`` excludes compilation.
+
+    Each stage is timed as a ``reps``-call back-to-back loop with ONE final
+    sync, reporting seconds per call.  A single-shot sync carries the
+    tunnel's 25-50 ms round-trip on this platform (PERF_NOTES measurement
+    note), which used to inflate every per-stage number here by a constant;
+    the loop amortizes it to RTT/reps.
     """
     import jax.numpy as jnp
 
@@ -77,15 +84,25 @@ def stage_timings(A, band=None, method="tpu2", diag="bisect", warmup=True):
     out = {}
     if warmup:
         sync(solver(*sync(stage2(sync(stage1(A, band=band)), band=band))))
-    t0 = time.perf_counter()
+    reps = max(1, int(reps))
+
+    def loop_time(fn):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(reps):
+            r = fn()
+        sync(r if not isinstance(r, tuple) else r[0])
+        return (time.perf_counter() - t0) / reps
+
     Ab = sync(stage1(A, band=band))
-    out["stage1_dense_to_band_s"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
+    out["stage1_dense_to_band_s"] = loop_time(
+        lambda: stage1(A, band=band)
+    )
     d, e = sync(stage2(Ab, band=band))
-    out["stage2_band_to_bidiagonal_s"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sync(solver(d, e))
-    out["diagonalization_s"] = time.perf_counter() - t0
+    out["stage2_band_to_bidiagonal_s"] = loop_time(
+        lambda: stage2(Ab, band=band)
+    )
+    out["diagonalization_s"] = loop_time(lambda: solver(d, e))
     out["total_s"] = sum(out.values())
     out["band"] = band
     return out
