@@ -250,10 +250,19 @@ def dqds_svdvals(d, e, max_sweeps=None, with_info=False):
 
     * When the previous sweep's minimum pivot was attained AT THE BOTTOM
       (``dn <= dmin*(1+4eps)`` — the common asymptotic case where the
-      bottom eigenvalue is isolating), shift aggressively:
-      ``tau = (1 - sqrt(E_last/dn)) * dn`` clamped to [dmin/2, 0.99*dmin]
-      — a Rayleigh-quotient-flavoured estimate of the bottom eigenvalue
-      (LAPACK dlasq4 ttype -1/-2 territory).  Otherwise ``tau = dmin/2``.
+      bottom eigenvalue is isolating), the sweep also tracks the LAPACK
+      dlasq4 auxiliary quantities ``dmin1``/``dn1`` (minimum pivot
+      excluding the last position / second-to-last pivot) to split the
+      case: if BOTH minima sit at the bottom (ttype -2 class, the twisted
+      asymptotic), shift by the second-order 2x2 perturbation estimate
+      ``dn - b1^2/gap1`` with coupling ``b1^2 = q[hi-1]*E[hi-1]``; if only
+      the last does (ttype -1 class), use the one-term Rayleigh estimate
+      ``tau = (1 - sqrt(E_last/dn)) * dn`` clamped to [dmin/2, 0.99*dmin].
+      Interior-dmin windows take ``tau = 0.75*dmin`` — more aggressive
+      than LAPACK's 1/4 because the failure-correction retry makes an
+      overshoot cost exactly one extra sweep here (measured net win).
+      2-entry windows shift by the EXACT smaller eigenvalue of the
+      trailing 2x2 and deflate in one sweep.
     * A sweep that breaks positivity or overflows is NOT discarded to
       zero-shift immediately: the failed sweep's negative ``dmin`` bounds
       the overshoot, so retry once with ``tau <- max(0, tau + dmin_fail)``
@@ -272,9 +281,12 @@ def dqds_svdvals(d, e, max_sweeps=None, with_info=False):
 
     Measured accuracy (f64): max RELATIVE error ~3e-15 across random,
     uniform, graded (cond 1e12), and explicitly-split spectra — LAPACK-
-    grade.  Caveat (documented): the shift selection is still simpler than
-    the full dlasq4 battery (no ttype history, no ping-pong d/e storage),
-    costing extra sweeps rather than accuracy on hard spectra.
+    grade.  Sweep counts on the recorded stall-class spectrum (random
+    n=120, seed 0): 5594 (pre-splitting) -> 1293 (round-2 battery) ->
+    1028 with the twisted-case split above; gated by a regression test.
+    Caveat (documented): still no full dlasq4 ttype history / ping-pong
+    d+e storage — the residual sweep-count gap vs dlasq2 costs time on
+    hard spectra, never accuracy (the bisection fallback backstops).
     """
     n = d.shape[0]
     dtype = d.dtype
@@ -293,11 +305,14 @@ def dqds_svdvals(d, e, max_sweeps=None, with_info=False):
 
     def sweep(q, E, lo, hi, tau):
         """One dqds sweep over the active WINDOW [lo, hi]; returns
-        (q', E', dmin, dn, ok) with ``dn`` the final (bottom) pivot."""
+        (q', E', dmin, dn, dmin1, dn1, ok) with ``dn`` the final (bottom)
+        pivot, ``dn1`` the second-to-last pivot, and ``dmin1`` the minimum
+        pivot EXCLUDING the last position — the dlasq4 quantities that let
+        the shift selection recognize the twisted asymptotic case."""
         dd0 = q[lo] - tau
 
         def step(i, carry):
-            dd, q, E, dmin, ok = carry
+            dd, q, E, dmin, dmin1, dn1, ok = carry
             active = jnp.logical_and(i >= lo, i < hi)
             qq = dd + E[i]
             safe_qq = jnp.where(qq == 0, tiny, qq)
@@ -307,28 +322,33 @@ def dqds_svdvals(d, e, max_sweeps=None, with_info=False):
             q = q.at[i].set(jnp.where(active, qq, q[i]))
             E = E.at[i].set(jnp.where(active, een, E[i]))
             dmin = jnp.where(active, jnp.minimum(dmin, ddn), dmin)
+            # pivot at position i+1: exclude the bottom (i+1 == hi) from
+            # dmin1; record it as dn1 when i+1 == hi-1
+            interior = jnp.logical_and(active, i < hi - 1)
+            dmin1 = jnp.where(interior, jnp.minimum(dmin1, ddn), dmin1)
+            dn1 = jnp.where(i == hi - 2, ddn, dn1)
             ok = jnp.logical_and(
                 ok, jnp.logical_or(~active, qq > 0)
             )
             dd = jnp.where(active, ddn, dd)
-            return dd, q, E, dmin, ok
+            return dd, q, E, dmin, dmin1, dn1, ok
 
-        dd, q, E, dmin, ok = lax.fori_loop(
-            0, n - 1, step, (dd0, q, E, dd0, jnp.bool_(True))
+        dd, q, E, dmin, dmin1, dn1, ok = lax.fori_loop(
+            0, n - 1, step, (dd0, q, E, dd0, dd0, dd0, jnp.bool_(True))
         )
         q = jnp.where(idx == hi, dd, q)  # q[hi] <- final dd (traced index)
         dmin = jnp.minimum(dmin, dd)
         ok = jnp.logical_and(ok, jnp.logical_and(dmin >= 0, jnp.isfinite(dd)))
-        return q, E, dmin, dd, ok
+        return q, E, dmin, dd, dmin1, dn1, ok
 
     def cond(st):
-        q, E, hi, acc, dmin, dn, it, since, out, stuck = st
+        q, E, hi, acc, dmin, dn, dm1, dn1v, it, since, out, stuck = st
         return jnp.logical_and(
             jnp.logical_and(hi >= 0, it < max_sweeps), ~stuck
         )
 
     def body(st):
-        q, E, hi, accv, dmin, dn, it, since, out, stuck = st
+        q, E, hi, accv, dmin, dn, dm1, dn1v, it, since, out, stuck = st
         hi_in = hi
 
         # ---- dlasq2-style SPLITTING: the active window's lower edge is one
@@ -384,20 +404,54 @@ def dqds_svdvals(d, e, max_sweeps=None, with_info=False):
         stuck = jnp.logical_or(stuck, since > 60)
 
         def do_sweep(args):
-            q, E, hi, accv, dmin, dn, stuck = args
-            # shift selection (dlasq4-flavoured, see docstring): aggressive
-            # Rayleigh-style estimate when the previous minimum pivot sat at
-            # the bottom of the active window, conservative dmin/2 otherwise
+            q, E, hi, accv, dmin, dn, dm1, dn1v, stuck = args
+            # ---- shift selection (dlasq4-flavoured, see docstring) -------
+            # interior-dmin shift fraction: the failure-correction retry
+            # makes overshoot cost one sweep, so this is tuned empirically
+            # (see docstring) rather than held at LAPACK's conservative 1/4.
+            INTERIOR = 0.75
             him1 = jnp.maximum(hi - 1, 0)
             bottom = dn <= dmin * (1 + 4 * eps)
+            bottom1 = dn1v <= dm1 * (1 + 4 * eps)
             safe_dn = jnp.maximum(dn, tiny)
+            # bottom-only (ttype -1 class): one-term Rayleigh estimate
             ray = dn * (1 - jnp.sqrt(jnp.maximum(E[him1], zero) / safe_dn))
-            tau_aggr = jnp.clip(ray, 0.5 * dmin, 0.99 * dmin)
-            tau = jnp.where(
-                jnp.logical_and(bottom, dn > 0), tau_aggr, 0.5 * dmin
+            tau_bot = jnp.clip(ray, 0.5 * dmin, 0.99 * dmin)
+            # twisted bottom (ttype -2 class: BOTH minima sit at the bottom,
+            # the common asymptotic): second-order 2x2 perturbation estimate
+            # lambda_min ~ dn - b1^2/gap1 with coupling b1^2 = q[hi-1]E[hi-1]
+            # and gap1 the distance to the next diagonal entry.  Overshoot
+            # is caught by the failure-correction retry below.
+            b1sq = q[him1] * E[him1]
+            a2 = q[him1] + E[him1]
+            gap1 = a2 - dn
+            tw_wide = jnp.logical_and(gap1 > 0, gap1 * gap1 > b1sq)
+            s_tw = dn - b1sq / jnp.maximum(gap1, tiny)
+            tau_tw = jnp.where(
+                tw_wide,
+                jnp.maximum(s_tw, 0.5 * dmin),
+                jnp.maximum(dn - jnp.sqrt(jnp.maximum(b1sq, zero)),
+                            dmin / 3),
             )
+            tau_tw = jnp.minimum(tau_tw, 0.999 * dmin)
+            tau = jnp.where(
+                jnp.logical_and(bottom, dn > 0),
+                jnp.where(
+                    jnp.logical_and(bottom1, dn1v > 0), tau_tw, tau_bot
+                ),
+                INTERIOR * dmin,
+            )
+            # 2-entry window: shift by the EXACT smaller eigenvalue of the
+            # trailing 2x2 (trace/det in qd quantities; smaller root via the
+            # stable formula) — one sweep then deflates the pair (LAPACK
+            # dlasq2 special-cases these sizes the same way).
+            tr2 = q[lo] + q[hi] + E[him1]
+            det2 = q[lo] * q[hi]
+            disc2 = jnp.sqrt(jnp.maximum(tr2 * tr2 - 4 * det2, zero))
+            lam2 = 2 * det2 / jnp.maximum(tr2 + disc2, tiny)
+            tau = jnp.where(hi - lo == 1, lam2 * (1 - 4 * eps), tau)
             tau = jnp.maximum(zero, tau)
-            q1, E1, dmin1, dn1, ok = sweep(q, E, lo, hi, tau)
+            q1, E1, dminP, dnP, dm1P, dn1P, ok = sweep(q, E, lo, hi, tau)
 
             def corrected(_):
                 # dlasq3 failure correction: the failed sweep's (negative)
@@ -405,23 +459,27 @@ def dqds_svdvals(d, e, max_sweeps=None, with_info=False):
                 # estimate that keeps most of the aggressive shift.  A NaN
                 # dmin (overflowed sweep) poisons tau2, which simply makes
                 # this retry fail too and drops to the dqd below.
-                tau2 = jnp.maximum(zero, tau + dmin1)
-                q2, E2, dmin2, dn2, ok2 = sweep(q, E, lo, hi, tau2)
+                tau2 = jnp.maximum(zero, tau + dminP)
+                q2, E2, dmin2, dn2, dm12, dn12, ok2 = sweep(
+                    q, E, lo, hi, tau2
+                )
 
                 def dqd(_):
-                    q3, E3, dmin3, dn3, ok3 = sweep(q, E, lo, hi, zero)
-                    return q3, E3, dmin3, dn3, zero, ok3
+                    q3, E3, dmin3, dn3, dm13, dn13, ok3 = sweep(
+                        q, E, lo, hi, zero
+                    )
+                    return q3, E3, dmin3, dn3, dm13, dn13, zero, ok3
 
                 return lax.cond(
                     ok2,
-                    lambda _: (q2, E2, dmin2, dn2, tau2, ok2),
+                    lambda _: (q2, E2, dmin2, dn2, dm12, dn12, tau2, ok2),
                     dqd,
                     None,
                 )
 
-            q1, E1, dmin1, dn1, tau, ok = lax.cond(
+            q1, E1, dminP, dnP, dm1P, dn1P, tau, ok = lax.cond(
                 ok,
-                lambda _: (q1, E1, dmin1, dn1, tau, ok),
+                lambda _: (q1, E1, dminP, dnP, dm1P, dn1P, tau, ok),
                 corrected,
                 None,
             )
@@ -429,34 +487,39 @@ def dqds_svdvals(d, e, max_sweeps=None, with_info=False):
             # keep the pre-sweep state and bail to the bisection fallback
             q1 = jnp.where(ok, q1, q)
             E1 = jnp.where(ok, E1, E)
-            dmin1 = jnp.where(ok, dmin1, dmin)
-            dn1 = jnp.where(ok, dn1, dn)
+            dminP = jnp.where(ok, dminP, dmin)
+            dnP = jnp.where(ok, dnP, dn)
+            dm1P = jnp.where(ok, dm1P, dm1)
+            dn1P = jnp.where(ok, dn1P, dn1v)
             tau = jnp.where(ok, tau, zero)
             in_win = jnp.logical_and(idx >= lo, idx <= hi)
             accv = accv + jnp.where(in_win, tau, zero)
-            return q1, E1, hi, accv, dmin1, dn1, ~ok
+            return q1, E1, hi, accv, dminP, dnP, dm1P, dn1P, ~ok
 
-        # the shift-carry (dmin, dn) describes the PREVIOUS window; after a
-        # deflation reset it so the next sweep is a safe zero-shift dqd.
-        # (A NEW split mid-window leaves a stale dmin too — that case is
-        # covered by the failure-correction path instead of a state slot.)
+        # the shift-carry (dmin, dn, dmin1, dn1) describes the PREVIOUS
+        # window; after a deflation reset it so the next sweep is a safe
+        # zero-shift dqd.  (A NEW split mid-window leaves a stale dmin too —
+        # that case is covered by the failure-correction path instead.)
         dmin = jnp.where(hi < hi_in, zero, dmin)
         dn = jnp.where(hi < hi_in, zero, dn)
+        dm1 = jnp.where(hi < hi_in, zero, dm1)
+        dn1v = jnp.where(hi < hi_in, zero, dn1v)
 
-        q, E, hi, accv, dmin, dn, stuck = lax.cond(
+        q, E, hi, accv, dmin, dn, dm1, dn1v, stuck = lax.cond(
             hi - lo >= 1,
             do_sweep,
             lambda args: args,
-            (q, E, hi, accv, dmin, dn, stuck),
+            (q, E, hi, accv, dmin, dn, dm1, dn1v, stuck),
         )
-        return q, E, hi, accv, dmin, dn, it + 1, since, out, stuck
+        return q, E, hi, accv, dmin, dn, dm1, dn1v, it + 1, since, out, stuck
 
     st = (
-        q0, E0, jnp.int32(n - 1), jnp.zeros((n,), dtype), zero, zero,
-        jnp.int32(0), jnp.int32(0), jnp.zeros((n,), dtype), jnp.bool_(False),
+        q0, E0, jnp.int32(n - 1), jnp.zeros((n,), dtype), zero, zero, zero,
+        zero, jnp.int32(0), jnp.int32(0), jnp.zeros((n,), dtype),
+        jnp.bool_(False),
     )
     (
-        q, E, hi, accv, dmin, dn, it, since, out, stuck
+        q, E, hi, accv, dmin, dn, dm1, dn1v, it, since, out, stuck
     ) = lax.while_loop(cond, body, st)
     out = jnp.where(idx <= hi, q + accv, out)  # flush if capped/stuck
     sig = scale * jnp.sort(jnp.sqrt(jnp.maximum(out, zero)))[::-1]

@@ -193,6 +193,42 @@ def test_svdvals_diag_dqds(rng):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5 * want[0])
 
 
+def test_dqds_sweep_count_regression():
+    # the recorded stall-class spectrum (random n=120, seed 0): sweep
+    # counts 5594 (pre-splitting) -> 1293 (round-2 battery) -> ~1028
+    # (dlasq4 twisted-case split).  Gate both the count and the relative
+    # accuracy so shift-battery changes can't silently regress either.
+    from svdsolver_tpu.models.diagonalize import dqds_svdvals
+
+    g = np.random.default_rng(0)
+    n = 120
+    d = jnp.asarray(g.standard_normal(n))
+    e = jnp.asarray(g.standard_normal(n - 1))
+    sig, info = dqds_svdvals(d, e, with_info=True)
+    assert int(info) <= 1100, int(info)
+    B = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+    want = np.linalg.svd(B, compute_uv=False)
+    rel = np.max(
+        np.abs(np.asarray(sig) - want) / np.maximum(want, 1e-300)
+    )
+    assert rel < 1e-10, rel
+
+
+def test_dqds_two_entry_window(rng):
+    # 2-entry windows take the EXACT trailing-2x2 shift and must deflate
+    # in O(1) sweeps with full relative accuracy
+    from svdsolver_tpu.models.diagonalize import dqds_svdvals
+
+    d = jnp.asarray([3.0, 1e-6])
+    e = jnp.asarray([2.0])
+    sig, info = dqds_svdvals(d, e, with_info=True)
+    B = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+    want = np.linalg.svd(B, compute_uv=False)
+    rel = np.max(np.abs(np.asarray(sig) - want) / want)
+    assert rel < 1e-12, rel
+    assert int(info) <= 6, int(info)
+
+
 def test_dqds_interior_split(rng):
     # an explicitly decoupled spectrum: the interior split must not stall
     # the chase nor corrupt the frozen upper block's values
