@@ -57,12 +57,19 @@ def main():
     run(A)
     print(f"compile+first run: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
+    # Loop-timed (5 back-to-back calls, one final sync): a single-shot
+    # sync carries the ~25-50 ms tunnel RTT, which is platform overhead,
+    # not device time (PERF_NOTES measurement note).
     reps = 3
+    loop = 5
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        run(A)
-        times.append(time.perf_counter() - t0)
+        out = None
+        for _ in range(loop):
+            out = stage1(A, band=BAND)
+        float(np.asarray(out[0, 0]))
+        times.append((time.perf_counter() - t0) / loop)
     t = min(times)
     flops = 8 / 3 * N**3  # two-sided blocked reduction FLOP count
     gflops = flops / t / 1e9

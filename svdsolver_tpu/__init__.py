@@ -39,7 +39,11 @@ from svdsolver_tpu.models.diagonalize import (
 )
 from svdsolver_tpu.models.svd import svdvals, svdvals_batch, Bidiagonal
 from svdsolver_tpu.models.vectors import svd, svds, svd_batch, bidiagonal_svd
-from svdsolver_tpu.models.jacobi import svd_jacobi, svd_jacobi_batch
+from svdsolver_tpu.models.jacobi import (
+    svd_jacobi,
+    svd_jacobi_batch,
+    svd_jacobi_pre,
+)
 from svdsolver_tpu.models.complex_svd import svd_c, svdvals_c
 from svdsolver_tpu.linalg import (
     pinv,
@@ -81,6 +85,7 @@ __all__ = [
     "svd_c",
     "svdvals_c",
     "svd_jacobi_batch",
+    "svd_jacobi_pre",
     "svds",
     "svd_batch",
     "bidiagonal_svd",

@@ -395,3 +395,66 @@ def svd_jacobi_batch(As, block=16, max_sweeps=30, tol=None):
         )[:3]
     )
     return fn(As)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("b", "max_sweeps", "tol", "eps_eff")
+)
+def _svd_jacobi_pre_square(A, b, max_sweeps, tol, eps_eff):
+    # poor-man's column pivoting: one exact permutation by descending norm
+    cn = jnp.linalg.norm(A, axis=0)
+    order = jnp.argsort(-cn)
+    iorder = jnp.argsort(order)
+    Ap = jnp.take(A, order, axis=1)
+    Q1, R1 = jnp.linalg.qr(Ap, mode="reduced")
+    Q2, R2 = jnp.linalg.qr(R1.T, mode="reduced")
+    Ux, s, Vhx, sweeps = _svd_jacobi_square(
+        R2.T, b=b, max_sweeps=max_sweeps, tol=tol, eps_eff=eps_eff
+    )
+    U = pdot(Q1, Ux)
+    Vh = pdot(Vhx, Q2.T)
+    return U, s, jnp.take(Vh, iorder, axis=1), sweeps
+
+
+def svd_jacobi_pre(A, block=16, max_sweeps=30, tol=None):
+    """Preconditioned one-sided Jacobi (LAPACK dgejsv class): ``A ~= U @
+    diag(s) @ Vh`` with Jacobi's RELATIVE sigma accuracy at a fraction of
+    the standalone sweep count.
+
+    Drmac's preconditioning: sort columns by norm (the exact-permutation
+    core of column pivoting), QR factor, QR factor the transposed
+    triangular factor again, and run one-sided Jacobi on the doubly
+    condensed ``R2^T``.  Each QR acts like half a QR-algorithm iteration
+    on the Gram, concentrating mass onto the diagonal, so the Jacobi
+    tournament starts close to its quadratic-convergence regime.
+    Householder QR perturbs every column by ~eps * (that column's norm),
+    so column-graded relative accuracy survives the preconditioning
+    (Drmac & Veselic, LAWN 169/170 — the dgejsv design).
+
+    Assembly: ``A P = Q1 R1``, ``R1^T = Q2 R2``, Jacobi on ``X = R2^T``
+    gives ``X = Ux diag(s) Vhx``; then ``U = Q1 Ux`` and
+    ``Vh = (Q2 Vhx^T)^T P^T`` (a column un-permutation).
+
+    Measured positioning vs the standalone :func:`svd_jacobi` (same
+    accuracy class) is recorded in PERF_NOTES; standalone remains the
+    reference-free path (no QR in front) for rank-revealing edge cases.
+    The whole path (permutation + QRs + Jacobi + assembly) runs as ONE
+    jitted program — eager dispatch on this platform costs seconds per op.
+    ``block`` defaults to 16 (not standalone's 64): the condensed input
+    needs less cross-block mixing, so cheaper local solves win (measured
+    at 1024: b=16 0.42 s / b=32 0.46 / b=64 0.62, same sweep count class).
+    """
+    m, n = A.shape
+    if m < n:
+        U, s, Vh = svd_jacobi_pre(
+            A.T, block=block, max_sweeps=max_sweeps, tol=tol
+        )
+        return Vh.T, s, U.T
+    b = int(max(2, min(block, -(-n // 2))))
+    eps_eff = _eps_eff(A.dtype)
+    if tol is None:
+        tol = float(np.sqrt(n)) * eps_eff
+    U, s, Vh, _ = _svd_jacobi_pre_square(
+        A, b=b, max_sweeps=int(max_sweeps), tol=float(tol), eps_eff=eps_eff
+    )
+    return U, s, Vh

@@ -418,13 +418,17 @@ def tgk_vectors(d, e, sig, iters=None, polish=None):
     u = u / jnp.maximum(jnp.linalg.norm(u, axis=0, keepdims=True), tiny)
     v = v / jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True), tiny)
 
-    def _polish_pass(k, M):
-        G = pdot(M.T, M)
+    # the u and v passes are independent: run them STACKED so each pass is
+    # one batched GEMM pair instead of two sequential ones (halves the
+    # sequential GEMM chain of the polish tail)
+    uv = jnp.stack([u, v])  # (2, n, k)
+
+    def _polish_pass(j, M):
+        G = pdot(jnp.swapaxes(M, -1, -2), M)
         return pdot(M, 1.5 * eye - 0.5 * G)
 
-    u = lax.fori_loop(0, int(polish), _polish_pass, u)
-    v = lax.fori_loop(0, int(polish), _polish_pass, v)
-    return u, v  # (U_b, V_b)
+    uv = lax.fori_loop(0, int(polish), _polish_pass, uv)
+    return uv[0], uv[1]  # (U_b, V_b)
 
 
 def bidiagonal_svd(d, e, k=None):
@@ -557,6 +561,21 @@ def _apply_chase_reflectors_wy(V, T, M, band):
     return Mp[: M.shape[0]]
 
 
+def _apply_chase_reflectors_wy_pair(VL, TL, VR, TR, ML, MR, band):
+    """Both chase back-transforms (``L @ Ub`` and ``R @ Vb``) in ONE
+    vmapped walk: the left and right record sets have identical shape and
+    slot schedule, so stacking them turns every sequential two-GEMM step
+    of :func:`_apply_chase_reflectors_wy` into one BATCHED two-GEMM step —
+    half the sequential GEMM chain of the back-transform tail."""
+    V2 = jnp.stack([VL, VR])
+    T2 = jnp.stack([TL, TR])
+    M2 = jnp.stack([ML, MR])
+    out = jax.vmap(
+        _apply_chase_reflectors_wy, in_axes=(0, 0, 0, None)
+    )(V2, T2, M2, band)
+    return out[0], out[1]
+
+
 def svd_two_stage(A, band=None, k=None):
     """Full SVD through the flagship two-stage pipeline (square ``A``).
 
@@ -634,8 +653,9 @@ def svd_two_stage(A, band=None, k=None):
         VR, TR = VR[:, :s_used], TR[:, :s_used]
     U_b, s, V_b = bidiagonal_svd(d, e, k=k)
     kout = n if k is None else min(int(k), n)
-    LU = _apply_chase_reflectors_wy(VL, TL, U_b, b)              # L @ Ub
-    RV = _apply_chase_reflectors_wy(VR, TR, V_b, b)              # R @ Vb
+    LU, RV = _apply_chase_reflectors_wy_pair(
+        VL, TL, VR, TR, U_b, V_b, b
+    )  # L @ Ub, R @ Vb — one batched walk
     U = pdot(U1, LU)
     V = pdot(V1, RV)
     return U[:n, :kout], s[:kout], V[:n, :kout].T
