@@ -181,6 +181,71 @@ def dense_to_band_uv(A, band=32):
     return lax.fori_loop(0, n // b, step, (A, U0, Vc0))
 
 
+@functools.partial(jax.jit, static_argnames=("band",))
+def dense_to_band_rec(A, band=32):
+    """Stage I with reflector *recording* instead of eager U1/V1 accumulation.
+
+    Returns ``(Ab, Vq, Tq, Vl, Tl)`` where ``Vq/Tq`` (shape ``(p, b, n)`` /
+    ``(p, b, b)``, ``p = n // band``) record the QR-panel block reflectors in
+    transposed layout (``Vq[k] = V_k^T``, ``Tq[k] = T_k^T``) and ``Vl/Tl``
+    the LQ-panel ones, such that
+
+        ``A = Q_0 Q_1 ... Q_{p-1} @ Ab @ (P_0 P_1 ... P_{p-1})^T``
+
+    with ``Q_k = I - Vq[k]^T Tq[k]^T Vq[k]`` and ``P_k`` likewise from
+    ``Vl/Tl``.  Same mathematics as :func:`dense_to_band_uv` — but the
+    ~4n^3-FLOP factor updates leave the sequential Stage-I critical path;
+    the caller back-transforms whatever (thin) matrices it actually needs
+    (see ``vectors._apply_stage1_reflectors_pair``), which also subsumes
+    the two final ``U1 @ LU`` GEMMs.  Reference analog: the U1/V1 factors
+    svd_parallel.h:400-407 documents but never produces.
+    """
+    n = A.shape[0]
+    b = int(band)
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("dense_to_band_rec expects a square matrix")
+    if n % b != 0:
+        raise ValueError(f"n={n} must be divisible by band={b}")
+    dtype = A.dtype
+
+    def panel_qr_collect(A, c0, r_off):
+        m = A.shape[0]
+        P0 = lax.dynamic_slice(A, (0, c0), (m, b))
+        V0 = jnp.zeros((m, b), dtype)
+        T0 = jnp.zeros((b, b), dtype)
+        ridx = jnp.arange(m)
+
+        def col_body(j, carry):
+            P, V, T = carry
+            p = r_off + j
+            v, tau, beta = householder_vector(P[:, j], p)
+            P = P - tau * jnp.outer(v, pdot(v, P))
+            colj = jnp.where(ridx > p, jnp.zeros((), dtype), P[:, j])
+            pc = jnp.minimum(p, m - 1)
+            colj = colj.at[pc].set(jnp.where(p < m, beta, colj[pc]))
+            P = P.at[:, j].set(colj)
+            w = pdot(V.T, v)
+            T = T.at[:, j].set(-tau * pdot(T, w))
+            T = T.at[j, j].set(tau)
+            V = V.at[:, j].set(jnp.where(tau != 0, v, jnp.zeros((m,), dtype)))
+            return P, V, T
+
+        P, V, T = lax.fori_loop(0, b, col_body, (P0, V0, T0), unroll=4)
+        W = pdot(V.T, A)
+        A = A - pdot(V, pdot(T.T, W))
+        A = lax.dynamic_update_slice(A, P, (0, c0))
+        return A, V, T
+
+    def step(A, k):
+        c = k * b
+        A, V, T = panel_qr_collect(A, c, c)
+        At, V2, T2 = panel_qr_collect(A.T, c, c + b)
+        return At.T, (V.T, T.T, V2.T, T2.T)
+
+    Ab, (Vq, Tq, Vl, Tl) = lax.scan(step, A, jnp.arange(n // b))
+    return Ab, Vq, Tq, Vl, Tl
+
+
 def make_window_pairs(w, record=False):
     """Build the two Stage-II window kernels for window parameter ``w``
     (= band + 1): ``top_pair`` opens a sweep (right-elim row 0 over cols

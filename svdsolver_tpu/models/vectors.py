@@ -576,11 +576,42 @@ def _apply_chase_reflectors_wy_pair(VL, TL, VR, TR, ML, MR, band):
     return out[0], out[1]
 
 
+def _apply_stage1_reflectors_pair(Vq, Tq, Vl, Tl, MU, MV):
+    """Back-transform both Stage-I factor products in ONE batched walk:
+    ``U1 @ MU`` and ``V1 @ MV`` where ``U1 = Q_0 Q_1 ... Q_{p-1}`` and
+    ``V1 = P_0 P_1 ... P_{p-1}`` are the products of the recorded panel
+    block reflectors (``dense_to_band_rec`` contract: ``Vq[k] = V_k^T``,
+    ``Tq[k] = T_k^T``; ``Q_k = I - V_k T_k V_k^T``).
+
+    Applying the records backward to the (n, k) matrices the caller
+    actually needs costs the same GEMM FLOPs as the eager U1/V1
+    accumulation — but it leaves Stage I's sequential critical path, the
+    QR and LQ sides batch into single 2-wide GEMM steps (identical shapes
+    and schedule), and the two final ``U1 @ LU`` / ``V1 @ RV`` n^3 GEMMs
+    disappear entirely.
+    """
+    V2 = jnp.stack([Vq, Vl], axis=1)  # (p, 2, b, n)
+    T2 = jnp.stack([Tq, Tl], axis=1)  # (p, 2, b, b)
+    M2 = jnp.stack([MU, MV])          # (2, n, k)
+
+    def step(M2, rec):
+        Vt, Tt = rec                  # (2, b, n), (2, b, b)
+        W = pdot(Vt, M2)              # (2, b, k)
+        M2 = M2 - pdot(
+            jnp.transpose(Vt, (0, 2, 1)), pdot(jnp.transpose(Tt, (0, 2, 1)), W)
+        )
+        return M2, None
+
+    M2, _ = lax.scan(step, M2, (V2, T2), reverse=True)
+    return M2[0], M2[1]
+
+
 def svd_two_stage(A, band=None, k=None):
     """Full SVD through the flagship two-stage pipeline (square ``A``).
 
-    ``A = U diag(s) V^T`` via: Stage I with U1/V1 compact-WY accumulation
-    (``A = U1 Ab V1^T``), reflector-recording chase (``Ab = L B R^T``),
+    ``A = U diag(s) V^T`` via: Stage I with compact-WY reflector recording
+    (``A = U1 Ab V1^T`` with U1/V1 left as panel records), reflector-recording
+    chase (``Ab = L B R^T``),
     TGK bisection + inverse iteration for the bidiagonal vectors
     (``B = Ub diag(s) Vb^T``), then back-transformation
     ``U = U1 (L Ub)``, ``V = V1 (R Vb)``.
@@ -595,7 +626,7 @@ def svd_two_stage(A, band=None, k=None):
     """
     from svdsolver_tpu.models.svd import _auto_block, use_pallas
     from svdsolver_tpu.models.two_stage import (
-        dense_to_band_uv,
+        dense_to_band_rec,
         band_to_bidiagonal_accum,
     )
 
@@ -609,11 +640,11 @@ def svd_two_stage(A, band=None, k=None):
     if pad:
         A = jnp.pad(A, ((0, pad), (0, pad)))
     if use_pallas(A.dtype) and b % 8 == 0:
-        from svdsolver_tpu.ops.pallas.panel_qr import dense_to_band_uv_pallas
+        from svdsolver_tpu.ops.pallas.panel_qr import dense_to_band_rec_pallas
 
-        Ab, U1, V1 = dense_to_band_uv_pallas(A, band=b)
+        Ab, Vq, Tq, Vl, Tl = dense_to_band_rec_pallas(A, band=b)
     else:
-        Ab, U1, V1 = dense_to_band_uv(A, band=b)
+        Ab, Vq, Tq, Vl, Tl = dense_to_band_rec(A, band=b)
     if use_pallas(A.dtype) and b % 8 == 0:
         # single-launch device-resident chase with record accumulation
         from svdsolver_tpu.ops.pallas.band_chase import (
@@ -656,8 +687,9 @@ def svd_two_stage(A, band=None, k=None):
     LU, RV = _apply_chase_reflectors_wy_pair(
         VL, TL, VR, TR, U_b, V_b, b
     )  # L @ Ub, R @ Vb — one batched walk
-    U = pdot(U1, LU)
-    V = pdot(V1, RV)
+    U, V = _apply_stage1_reflectors_pair(
+        Vq, Tq, Vl, Tl, LU, RV
+    )  # U1 @ LU, V1 @ RV — one batched backward walk over the records
     return U[:n, :kout], s[:kout], V[:n, :kout].T
 
 

@@ -205,6 +205,49 @@ def _dense_to_band_uv_pallas(A, band=128):
     return lax.fori_loop(0, n // b, step, (A, eye, eye))
 
 
+def dense_to_band_rec_pallas(A, band=128):
+    """Stage I recording the panel block reflectors instead of eagerly
+    accumulating U1/V1 (Pallas counterpart of
+    ``models.two_stage.dense_to_band_rec``; same record contract:
+    ``Vq[k] = V_k^T`` (b, n), ``Tq[k] = T_k^T``, QR then LQ per panel).
+
+    The per-panel ~4n^2 b-FLOP factor GEMMs of ``dense_to_band_uv_pallas``
+    leave the sequential critical path entirely — the caller applies the
+    records backward to the (thin) matrices it actually needs.  fp32/TPU.
+    """
+    with jax.enable_x64(False):
+        return _dense_to_band_rec_pallas(A, band=band)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def _dense_to_band_rec_pallas(A, band=128):
+    from svdsolver_tpu.ops.precision import pdot
+
+    n = A.shape[0]
+    b = int(band)
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("dense_to_band_rec_pallas expects a square matrix")
+    if n % b != 0:
+        raise ValueError(f"n={n} must be divisible by band={b}")
+
+    def step(S, k):
+        c = k * b
+        Pt = lax.dynamic_slice(S, (0, c), (n, b)).T
+        Rt, Vt, Tt = _panel_qr_pallas(Pt, c, b)
+        W = pdot(Vt, S)
+        S = S - pdot(Vt.T, pdot(Tt, W))  # Tt = T^T: A - V T^T (V^T A)
+        S = lax.dynamic_update_slice(S, Rt.T, (0, c))
+        Sl = lax.dynamic_slice(S, (c, 0), (b, n))
+        Rt2, Vt2, Tt2 = _panel_qr_pallas(Sl, c + b, b)
+        AV = pdot(S, Vt2.T)
+        S = S - pdot(pdot(AV, Tt2.T), Vt2)
+        S = lax.dynamic_update_slice(S, Rt2, (c, 0))
+        return S, (Vt, Tt, Vt2, Tt2)
+
+    Ab, (Vq, Tq, Vl, Tl) = lax.scan(step, A, jnp.arange(n // b))
+    return Ab, Vq, Tq, Vl, Tl
+
+
 @functools.partial(jax.jit, static_argnames=("band",))
 def _panel_qr_pallas(A_panel_t, r_off, band):
     b = int(band)

@@ -177,6 +177,24 @@ def test_dense_to_band_uv_reconstructs(rng):
     np.testing.assert_allclose(V1.T @ V1, np.eye(n), atol=1e-12)
 
 
+def test_dense_to_band_rec_matches_uv(rng):
+    """The recording Stage I is the same factorization as the eager one:
+    identical band output (bitwise) and the backward-applied records
+    rebuild the same U1/V1."""
+    from svdsolver_tpu.models.two_stage import dense_to_band_uv, dense_to_band_rec
+    from svdsolver_tpu.models.vectors import _apply_stage1_reflectors_pair
+
+    n, b = 64, 16
+    A = jnp.asarray(rng.normal(size=(n, n)))
+    Ab_u, U1, V1 = dense_to_band_uv(A, band=b)
+    Ab_r, Vq, Tq, Vl, Tl = dense_to_band_rec(A, band=b)
+    np.testing.assert_array_equal(np.asarray(Ab_u), np.asarray(Ab_r))
+    eye = jnp.eye(n, dtype=A.dtype)
+    U1r, V1r = _apply_stage1_reflectors_pair(Vq, Tq, Vl, Tl, eye, eye)
+    np.testing.assert_allclose(np.asarray(U1r), np.asarray(U1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(V1r), np.asarray(V1), atol=1e-12)
+
+
 def test_chase_accum_factorization(rng):
     from svdsolver_tpu.models.two_stage import (
         dense_to_band,
