@@ -132,49 +132,56 @@ def main():
     except Exception as exc:
         print(f"stage_timings failed: {exc}", file=sys.stderr)
 
-    # ---- full SVD with singular vectors (beyond the reference) at 2048 ----
-    svd_s = svd_err = None
+    # ---- full SVD with singular vectors (beyond the reference) ----------
+    svd_metrics = {}
     try:
         from svdsolver_tpu import svd
         from svdsolver_tpu.utils.timing import sync
 
-        SN = 2048
-        Asv = jnp.asarray(
-            rng.normal(size=(SN, SN)).astype(np.float32)
-        )
-
         fsvd = jax.jit(svd)  # the public svd() is jit-compatible
 
-        def run_svd(x):
-            out = fsvd(x)
-            # one output of the single jitted program syncs the whole call
-            # (eager composition would need one RTT per output)
-            sync(out[1])
-            return out
+        for SN, sv_loop in ((2048, 3), (3840, 2)):
+            Asv = jnp.asarray(rng.normal(size=(SN, SN)).astype(np.float32))
 
-        run_svd(Asv)  # compile
-        sv_times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = run_svd(Asv)
-            sv_times.append(time.perf_counter() - t0)
-        svd_s = min(sv_times)
-        U, s, Vh = (np.asarray(o) for o in out)
-        An = np.asarray(Asv)
-        svd_err = float(
-            np.abs(U @ np.diag(s) @ Vh - An).max() / np.abs(An).max()
-        )
-        print(
-            f"full svd {SN}^2 fp32 times {sv_times} recon {svd_err:.2e}",
-            file=sys.stderr,
-        )
+            def run_svd(x, k):
+                out = None
+                for _ in range(k):
+                    out = fsvd(x)
+                # one output of the single jitted program syncs the whole
+                # call (eager composition would need one RTT per output)
+                sync(out[1])
+                return out
+
+            run_svd(Asv, 1)  # compile
+            sv_times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = run_svd(Asv, sv_loop)
+                sv_times.append((time.perf_counter() - t0) / sv_loop)
+            svd_s = min(sv_times)
+            U, s, Vh = (np.asarray(o) for o in out)
+            An = np.asarray(Asv)
+            svd_err = float(
+                np.abs(U @ np.diag(s) @ Vh - An).max() / np.abs(An).max()
+            )
+            svd_metrics[f"full_svd_N{SN}_fp32_s"] = round(svd_s, 4)
+            svd_metrics[f"full_svd_N{SN}_max_recon_rel_err"] = float(
+                f"{svd_err:.3e}"
+            )
+            print(
+                f"full svd {SN}^2 fp32 times {sv_times} recon {svd_err:.2e}",
+                file=sys.stderr,
+            )
+            del Asv, out, U, s, Vh, An
     except Exception as exc:
         print(f"full-svd bench failed: {exc}", file=sys.stderr)
 
     # ---- Jacobi relative accuracy on a graded spectrum (fp32: 6 decades) --
-    jac_err = jac_s = None
+    # Headline: the preconditioned (dgejsv-class) flagship; standalone
+    # svd_jacobi kept as the secondary (rank-revealing, no QR in front).
+    jac_metrics = {}
     try:
-        from svdsolver_tpu import svd_jacobi
+        from svdsolver_tpu import svd_jacobi, svd_jacobi_pre
         from svdsolver_tpu.utils.timing import sync
 
         JN = 512
@@ -182,44 +189,65 @@ def main():
         # f64 — demonstrated in tests/test_jacobi.py on the emulated-f64 path)
         g = rng.normal(size=(JN, JN)) @ np.diag(np.logspace(0, -6, JN))
         Aj = jnp.asarray(g.astype(np.float32))
-        out = svd_jacobi(Aj)
-        sync(out[1])
-        jac_s = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            out = svd_jacobi(Aj)
-            sync(out[1])
-            jac_s = min(jac_s, time.perf_counter() - t0)
         refj = np.linalg.svd(np.asarray(Aj, np.float64), compute_uv=False)
-        jac_err = float(np.max(np.abs(np.asarray(out[1]) - refj) / refj))
-        print(
-            f"jacobi graded {JN}^2: {jac_s:.3f}s max RELATIVE err {jac_err:.2e}",
-            file=sys.stderr,
-        )
+        for name, fn in (("jacobi_pre", svd_jacobi_pre), ("jacobi", svd_jacobi)):
+            out = fn(Aj)
+            sync(out[1])
+            jac_s = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for _ in range(2):
+                    out = fn(Aj)
+                sync(out[1])
+                jac_s = min(jac_s, (time.perf_counter() - t0) / 2)
+            jac_err = float(np.max(np.abs(np.asarray(out[1]) - refj) / refj))
+            jac_metrics[f"{name}_graded6dec_N{JN}_s"] = round(jac_s, 4)
+            jac_metrics[f"{name}_graded6dec_max_RELATIVE_err"] = float(
+                f"{jac_err:.3e}"
+            )
+            print(
+                f"{name} graded {JN}^2: {jac_s:.3f}s max RELATIVE err "
+                f"{jac_err:.2e}",
+                file=sys.stderr,
+            )
     except Exception as exc:
         print(f"jacobi bench failed: {exc}", file=sys.stderr)
 
     # ---- complex SVD (split re/im — no complex dtype on this backend) ---
+    # Loop-timed on device-resident (re, im) pairs: host numpy complex
+    # in/out adds two big transfers per call (tunnel-RTT, not device time).
     cx_s = cx_err = None
     try:
         from svdsolver_tpu.models.complex_svd import svd_c
+        from svdsolver_tpu.utils.timing import sync
 
         CN = 512
         Ac = (
             rng.normal(size=(CN, CN)) + 1j * rng.normal(size=(CN, CN))
         ).astype(np.complex64)
-        Uc, sc, Vhc = svd_c(Ac)  # compile
+        pair = (
+            jnp.asarray(Ac.real.astype(np.float32)),
+            jnp.asarray(Ac.imag.astype(np.float32)),
+        )
+        Uc, sc, Vhc = svd_c(pair)  # compile
+        sync(sc)
         cx_s = float("inf")
-        for _ in range(2):
+        cx_loop = 3
+        for _ in range(reps):
             t0 = time.perf_counter()
-            Uc, sc, Vhc = svd_c(Ac)
-            cx_s = min(cx_s, time.perf_counter() - t0)
+            for _ in range(cx_loop):
+                Uc, sc, Vhc = svd_c(pair)
+            sync(sc)
+            cx_s = min(cx_s, (time.perf_counter() - t0) / cx_loop)
+        Un = np.asarray(Uc[0]) + 1j * np.asarray(Uc[1])
+        Vn = np.asarray(Vhc[0]) + 1j * np.asarray(Vhc[1])
         cx_err = float(
-            np.abs(Uc @ np.diag(np.asarray(sc)) @ Vhc - Ac).max()
+            np.abs(Un @ np.diag(np.asarray(sc)) @ Vn - Ac).max()
             / np.abs(Ac).max()
         )
         print(
-            f"complex svd {CN}^2: {cx_s:.3f}s recon {cx_err:.2e}",
+            f"complex svd {CN}^2 (device pairs, loop-timed): {cx_s:.3f}s "
+            f"recon {cx_err:.2e}",
             file=sys.stderr,
         )
     except Exception as exc:
@@ -240,16 +268,56 @@ def main():
         line["northstar_max_rel_err_vs_lapack"] = float(f"{ns_err:.3e}")
     if sc_s is not None:
         line["svdvals_N7680_fp32_s"] = round(sc_s, 4)
-    if svd_s is not None:
-        line["full_svd_N2048_fp32_s"] = round(svd_s, 4)
-        line["full_svd_N2048_max_recon_rel_err"] = float(f"{svd_err:.3e}")
-    if jac_err is not None:
-        line["jacobi_graded6dec_N512_s"] = round(jac_s, 4)
-        line["jacobi_graded6dec_max_RELATIVE_err"] = float(f"{jac_err:.3e}")
+    line.update(svd_metrics)
+    line.update(jac_metrics)
     if cx_s is not None:
         line["complex_svd_N512_s"] = round(cx_s, 4)
         line["complex_svd_N512_recon_rel_err"] = float(f"{cx_err:.3e}")
+    _drift_check(line)
     print(json.dumps(line))
+
+
+def _drift_check(line, factor=1.5):
+    """Warn on stderr for any time metric regressing > ``factor`` vs the
+    most recent BENCH_r*.json (round-over-round drift guard — VERDICT r3 #8).
+    Timing keys are those ending in ``_s`` plus the headline ``value``."""
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if not prev:
+        return
+    try:
+        with open(prev[-1]) as f:
+            old = json.load(f).get("parsed", {})
+    except Exception as exc:
+        print(f"drift check: cannot read {prev[-1]}: {exc}", file=sys.stderr)
+        return
+    warned = False
+    for key, new_val in line.items():
+        is_time = key.endswith("_s") or key == "value"
+        if not is_time or key not in old:
+            continue
+        old_val = old[key]
+        if isinstance(old_val, (int, float)) and old_val > 0:
+            if new_val > factor * old_val:
+                print(
+                    f"WARN drift: {key} = {new_val} vs {old_val} in "
+                    f"{os.path.basename(prev[-1])} "
+                    f"({new_val / old_val:.2f}x regression)",
+                    file=sys.stderr,
+                )
+                warned = True
+    if not warned:
+        print(
+            f"drift check vs {os.path.basename(prev[-1])}: clean",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -289,6 +289,32 @@ def test_pallas_dense_to_band_uv(rng):
     assert np.abs(np.triu(Ab, b + 1)).max() < 1e-4 * nrm
 
 
+def test_pallas_dense_to_band_rec(rng):
+    # The recording Pallas Stage I (production fp32 svd path) is the same
+    # factorization as the eager uv kernel: identical band output and the
+    # backward-applied records rebuild the same U1/V1 (fp32 eps class).
+    from svdsolver_tpu.models.vectors import _apply_stage1_reflectors_pair
+    from svdsolver_tpu.ops.pallas.panel_qr import (
+        dense_to_band_rec_pallas,
+        dense_to_band_uv_pallas,
+    )
+
+    n, b = 256, 64
+    A = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    Ab_u, U1, V1 = (np.asarray(x) for x in dense_to_band_uv_pallas(A, band=b))
+    Ab_r, Vq, Tq, Vl, Tl = dense_to_band_rec_pallas(A, band=b)
+    np.testing.assert_allclose(
+        np.asarray(Ab_r), Ab_u, rtol=0, atol=1e-5 * np.abs(Ab_u).max()
+    )
+    eye = jnp.eye(n, dtype=A.dtype)
+    U1r, V1r = _apply_stage1_reflectors_pair(Vq, Tq, Vl, Tl, eye, eye)
+    U1r, V1r = np.asarray(U1r), np.asarray(V1r)
+    assert np.abs(U1r.T @ U1r - np.eye(n)).max() < 1e-5
+    assert np.abs(V1r.T @ V1r - np.eye(n)).max() < 1e-5
+    np.testing.assert_allclose(U1r, U1, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(V1r, V1, rtol=0, atol=1e-4)
+
+
 @pytest.mark.parametrize(
     "n,b", [(384, 64), (640, 128), (192, 32), (520, 40), (5504, 128)]
 )

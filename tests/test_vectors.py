@@ -188,7 +188,12 @@ def test_dense_to_band_rec_matches_uv(rng):
     A = jnp.asarray(rng.normal(size=(n, n)))
     Ab_u, U1, V1 = dense_to_band_uv(A, band=b)
     Ab_r, Vq, Tq, Vl, Tl = dense_to_band_rec(A, band=b)
-    np.testing.assert_array_equal(np.asarray(Ab_u), np.asarray(Ab_r))
+    # Same factorization, but fori_loop vs scan: XLA is not obligated to
+    # compile the two loop forms to identical arithmetic, so compare at
+    # tight f64 tolerance rather than bitwise (ADVICE r3).
+    np.testing.assert_allclose(
+        np.asarray(Ab_u), np.asarray(Ab_r), rtol=0, atol=1e-12
+    )
     eye = jnp.eye(n, dtype=A.dtype)
     U1r, V1r = _apply_stage1_reflectors_pair(Vq, Tq, Vl, Tl, eye, eye)
     np.testing.assert_allclose(np.asarray(U1r), np.asarray(U1), atol=1e-12)
