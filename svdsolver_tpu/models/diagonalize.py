@@ -244,25 +244,31 @@ def dqds_svdvals(d, e, max_sweeps=None, with_info=False):
     interior E pins dmin far below the bottom eigenvalue and the chase
     crawls at ~47 zero-ish-shift sweeps per eigenvalue, accumulating
     rounding — measured on a random 120-spectrum: 5594 sweeps / rel 5e-6
-    before, 1295 sweeps / rel 3e-15 after), deflate converged bottom
-    entries, then one dqds sweep over the window.  Shift strategy
-    (dlasq3/4-style, simplified):
+    before, 1295 sweeps / rel 3e-15 after), run the dlasq3-style deflation
+    loop, optionally reverse the window, then one dqds sweep:
 
-    * When the previous sweep's minimum pivot was attained AT THE BOTTOM
-      (``dn <= dmin*(1+4eps)`` — the common asymptotic case where the
-      bottom eigenvalue is isolating), the sweep also tracks the LAPACK
-      dlasq4 auxiliary quantities ``dmin1``/``dn1`` (minimum pivot
-      excluding the last position / second-to-last pivot) to split the
-      case: if BOTH minima sit at the bottom (ttype -2 class, the twisted
-      asymptotic), shift by the second-order 2x2 perturbation estimate
-      ``dn - b1^2/gap1`` with coupling ``b1^2 = q[hi-1]*E[hi-1]``; if only
-      the last does (ttype -1 class), use the one-term Rayleigh estimate
-      ``tau = (1 - sqrt(E_last/dn)) * dn`` clamped to [dmin/2, 0.99*dmin].
-      Interior-dmin windows take ``tau = 0.75*dmin`` — more aggressive
-      than LAPACK's 1/4 because the failure-correction retry makes an
-      overshoot cost exactly one extra sweep here (measured net win).
-      2-entry windows shift by the EXACT smaller eigenvalue of the
-      trailing 2x2 and deflate in one sweep.
+    * DEFLATION (dlasq3 labels 20/40): strip the window bottom until
+      nothing fires — 1-eigenvalue when ``E[hi-1]`` is negligible against
+      ``tol2*(sigma + q[hi])`` or ``tol2*q[hi-1]`` (tol = 100 eps), and
+      2-eigenvalue EXACT when ``E[hi-2]`` is negligible or the window has
+      exactly two entries: the trailing 2x2's eigenvalues are computed in
+      closed form (stable quadratic on qd quantities) and both deflate at
+      zero sweep cost.
+    * REVERSAL (dlasq2's CBIAS flip): deflation only happens at the
+      bottom, so a window ordered with large values there
+      (``1.5*q[lo] < q[hi]``) is flipped in place — otherwise an
+      interior/top minimum caps every shift and the battery degenerates
+      to weak case-6 ``g*dmin`` shifts.
+    * SHIFT: the full LAPACK dlasq4 case battery (ttypes -2..-12),
+      dispatched on how many eigenvalues deflated since the previous
+      sweep (0/1/2 — after deflation, ``dmin1``/``dmin2`` proxy the
+      shrunk window) and where the previous sweep attained its minimum
+      pivot (``dn``/``dn1``/``dn2``), including the Rayleigh-quotient
+      residual norm loops of cases 4/5/7/10 and the case-6 G history.
+      Departure, documented: LAPACK reads a few leading norm-estimate
+      terms from the ping-pong ALTERNATE (q, e) copy; this implementation
+      is single-copy and uses current values — shift quality heuristics
+      only, never correctness.
     * A sweep that breaks positivity or overflows is NOT discarded to
       zero-shift immediately: the failed sweep's negative ``dmin`` bounds
       the overshoot, so retry once with ``tau <- max(0, tau + dmin_fail)``
@@ -271,22 +277,22 @@ def dqds_svdvals(d, e, max_sweeps=None, with_info=False):
       ``tau = 0`` (plain dqd).
     * If even the zero-shift sweep fails (interior splits with vanishing
       pivots), the sweep cap is hit, or NO deflation lands for 60
-      consecutive sweeps (a stall: a negligible interior E pins dmin far
-      below the bottom eigenvalue — the case LAPACK dlasq2 handles by
-      splitting the matrix), the routine FALLS BACK to extended-iteration
+      consecutive sweeps, the routine FALLS BACK to extended-iteration
       bisection — normwise accuracy is therefore always delivered, and the
       fallback measures both faster and more accurate than a stalled dqds.
 
-    ``with_info``: also return the sweep count (convergence diagnostics).
+    ``with_info``: also return the sweep count (convergence diagnostics);
+    ``with_info="debug"`` additionally returns the ttype histogram.
 
-    Measured accuracy (f64): max RELATIVE error ~3e-15 across random,
-    uniform, graded (cond 1e12), and explicitly-split spectra — LAPACK-
-    grade.  Sweep counts on the recorded stall-class spectrum (random
-    n=120, seed 0): 5594 (pre-splitting) -> 1293 (round-2 battery) ->
-    1028 with the twisted-case split above; gated by a regression test.
-    Caveat (documented): still no full dlasq4 ttype history / ping-pong
-    d+e storage — the residual sweep-count gap vs dlasq2 costs time on
-    hard spectra, never accuracy (the bisection fallback backstops).
+    Measured accuracy (f64): max RELATIVE error ~1e-14 across random,
+    uniform, graded (cond 1e12), clustered, and explicitly-split spectra —
+    LAPACK-grade.  Sweep counts on the recorded stall-class spectrum
+    (random n=120, seed 0): 5594 (pre-splitting) -> 1293 (round-2
+    battery) -> 1028 (twisted-case split) -> 865 (this battery) — vs
+    LAPACK dlasq2's own 877 on the identical spectrum (measured via
+    ctypes, scripts/probe_dqds.py; across the 6-spectrum battery: 6165
+    here vs 5985 dlasq2, within 3%).  Gated by a regression test at
+    LAPACK-parity class (<= 900).
     """
     n = d.shape[0]
     dtype = d.dtype
@@ -305,14 +311,15 @@ def dqds_svdvals(d, e, max_sweeps=None, with_info=False):
 
     def sweep(q, E, lo, hi, tau):
         """One dqds sweep over the active WINDOW [lo, hi]; returns
-        (q', E', dmin, dn, dmin1, dn1, ok) with ``dn`` the final (bottom)
-        pivot, ``dn1`` the second-to-last pivot, and ``dmin1`` the minimum
-        pivot EXCLUDING the last position — the dlasq4 quantities that let
-        the shift selection recognize the twisted asymptotic case."""
+        (q', E', dmin, dn, dmin1, dn1, dmin2, dn2, ok) with ``dn`` the final
+        (bottom) pivot, ``dn1``/``dn2`` the second-/third-to-last pivots,
+        and ``dmin1``/``dmin2`` the minimum pivots EXCLUDING the last one /
+        two positions — the dlasq4/dlasq5 auxiliary quantities the shift
+        selection dispatches on."""
         dd0 = q[lo] - tau
 
         def step(i, carry):
-            dd, q, E, dmin, dmin1, dn1, ok = carry
+            dd, q, E, dmin, dmin1, dmin2, dn1, dn2, ok = carry
             active = jnp.logical_and(i >= lo, i < hi)
             qq = dd + E[i]
             safe_qq = jnp.where(qq == 0, tiny, qq)
@@ -323,32 +330,46 @@ def dqds_svdvals(d, e, max_sweeps=None, with_info=False):
             E = E.at[i].set(jnp.where(active, een, E[i]))
             dmin = jnp.where(active, jnp.minimum(dmin, ddn), dmin)
             # pivot at position i+1: exclude the bottom (i+1 == hi) from
-            # dmin1; record it as dn1 when i+1 == hi-1
+            # dmin1, the bottom two from dmin2; record dn1/dn2 at hi-1/hi-2
             interior = jnp.logical_and(active, i < hi - 1)
             dmin1 = jnp.where(interior, jnp.minimum(dmin1, ddn), dmin1)
+            interior2 = jnp.logical_and(active, i < hi - 2)
+            dmin2 = jnp.where(interior2, jnp.minimum(dmin2, ddn), dmin2)
             dn1 = jnp.where(i == hi - 2, ddn, dn1)
+            dn2 = jnp.where(i == hi - 3, ddn, dn2)
             ok = jnp.logical_and(
                 ok, jnp.logical_or(~active, qq > 0)
             )
             dd = jnp.where(active, ddn, dd)
-            return dd, q, E, dmin, dmin1, dn1, ok
+            return dd, q, E, dmin, dmin1, dmin2, dn1, dn2, ok
 
-        dd, q, E, dmin, dmin1, dn1, ok = lax.fori_loop(
-            0, n - 1, step, (dd0, q, E, dd0, dd0, dd0, jnp.bool_(True))
+        dd, q, E, dmin, dmin1, dmin2, dn1, dn2, ok = lax.fori_loop(
+            0, n - 1, step,
+            (dd0, q, E, dd0, dd0, dd0, dd0, dd0, jnp.bool_(True)),
         )
         q = jnp.where(idx == hi, dd, q)  # q[hi] <- final dd (traced index)
         dmin = jnp.minimum(dmin, dd)
         ok = jnp.logical_and(ok, jnp.logical_and(dmin >= 0, jnp.isfinite(dd)))
-        return q, E, dmin, dd, dmin1, dn1, ok
+        return q, E, dmin, dd, dmin1, dn1, dmin2, dn2, ok
+
+    # dlasq4 magic constants (LAPACK dlasq4.f): CNST1 = 9/16 bounds the
+    # Rayleigh-residual norm estimate below which the refined shift is
+    # trusted; CNST2/CNST3 are its safety inflation factors.
+    CNST1 = jnp.asarray(0.5625, dtype)
+    CNST2 = jnp.asarray(1.01, dtype)
+    CNST3 = jnp.asarray(1.05, dtype)
 
     def cond(st):
-        q, E, hi, acc, dmin, dn, dm1, dn1v, it, since, out, stuck = st
+        hi, it, stuck = st[2], st[12], st[15]
         return jnp.logical_and(
             jnp.logical_and(hi >= 0, it < max_sweeps), ~stuck
         )
 
     def body(st):
-        q, E, hi, accv, dmin, dn, dm1, dn1v, it, since, out, stuck = st
+        (
+            q, E, hi, accv, dmin, dn, dm1, dn1v, dm2, dn2v, tt, g, it,
+            since, out, stuck, th,
+        ) = st
         hi_in = hi
 
         # ---- dlasq2-style SPLITTING: the active window's lower edge is one
@@ -367,35 +388,130 @@ def dqds_svdvals(d, e, max_sweeps=None, with_info=False):
         # keeps the split declared as the window's q values shrink —
         # re-merging blocks whose entries carry different accumulated
         # shifts would corrupt the recurrence.
+        # Negligibility is LAPACK dlasq2's: tol2*(sigma + q) with
+        # tol = 100*eps, where sigma is the entry's ACCUMULATED shift (accv
+        # — all eigenvalues of the window sit above it, so an E below
+        # tol2*sigma perturbs every sigma^2 by < tol2 relative).  The
+        # eps^2*q term covers the pre-shift phase (accv = 0).
+        tol2 = (100 * eps) * (100 * eps)
         qnext = jnp.concatenate([q[1:], q[-1:]])
         eneg = jnp.logical_and(
-            E <= eps * eps * jnp.maximum(q, qnext) + tiny, idx < hi
+            E
+            <= tol2 * accv + eps * eps * jnp.maximum(q, qnext) + tiny,
+            idx < hi,
         )
         E = jnp.where(eneg, zero, E)
         lo = jnp.max(jnp.where(eneg, idx + 1, 0))
 
-        # deflate up to two converged bottom entries
-        def deflate(st2):
-            q, E, hi, out = st2
+        # ---- dlasq3-style deflation loop: keep stripping the bottom of
+        # the window until nothing fires.  Two forms (LAPACK dlasq3
+        # labels 20/40):
+        #   * 1-eigenvalue: hi == lo (decoupled 1x1 — E[lo-1] was zeroed
+        #     at the split) or E[hi-1] negligible against tol2*(sigma +
+        #     q[hi]) OR tol2*q[hi-1] (both dlasq3 alternatives; sigma is
+        #     the entry's accumulated shift, the eps^2 term covers the
+        #     pre-shift phase).
+        #   * 2-eigenvalue EXACT: a 2-entry window, or E[hi-2] negligible
+        #     — the trailing 2x2's eigenvalues are computed in closed form
+        #     (stable quadratic on qd quantities) and BOTH deflate at
+        #     once, costing zero sweeps.  This is where dlasq2 resolves
+        #     every window's last pair and most clusters.
+        tol2 = (100 * eps) * (100 * eps)
+
+        def defl_cond(c):
+            return c[4]
+
+        def defl_body(c):
+            q, E, hi, out, _ = c
             him1 = jnp.maximum(hi - 1, 0)
-            # hi == lo: the window is a decoupled 1x1 block (E[lo-1] was
-            # zeroed at the split) — its value is final.  STRICT equality:
-            # after this deflate decrements hi, the stale lo > hi must NOT
-            # re-fire for hi = lo - 1, whose E-coupling is live.
-            neglig = jnp.logical_or(
-                jnp.logical_or(hi == 0, hi == lo),
+            him2 = jnp.maximum(hi - 2, 0)
+            neg1 = jnp.logical_or(
+                E[him1] <= tol2 * (accv[hi] + q[hi]),
+                E[him1] <= tol2 * q[him1],
+            )
+            neg1 = jnp.logical_or(
+                neg1,
                 E[him1]
                 <= eps * eps * jnp.maximum(q[hi], q[him1]) + tiny,
             )
-            fire = jnp.logical_and(hi >= 0, neglig)
-            out = jnp.where(
-                jnp.logical_and(fire, idx == hi), q + accv, out
+            fire1 = jnp.logical_and(
+                hi >= 0, jnp.logical_or(hi == lo, neg1)
             )
-            E = jnp.where(jnp.logical_and(fire, idx == him1), zero, E)
-            hi = hi - fire.astype(jnp.int32)
-            return q, E, hi, out
+            neg2 = jnp.logical_or(
+                E[him2] <= tol2 * accv[hi], E[him2] <= tol2 * q[him2]
+            )
+            neg2 = jnp.logical_or(
+                neg2,
+                E[him2]
+                <= eps * eps * jnp.maximum(q[him1], q[him2]) + tiny,
+            )
+            fire2 = jnp.logical_and(
+                jnp.logical_and(hi - 1 >= lo, ~fire1),
+                jnp.logical_or(hi - 1 == lo, neg2),
+            )
 
-        q, E, hi, out = deflate(deflate((q, E, hi, out)))
+            def apply1(args):
+                q, E, hi, out = args
+                out = jnp.where(idx == hi, q + accv, out)
+                E = jnp.where(idx == him1, zero, E)
+                return q, E, hi - 1, out
+
+            def apply2(args):
+                # exact trailing-2x2 deflation (dlasq3 label 40): order the
+                # pair (bs <= as_), then the stable quadratic for the
+                # smaller root of [[as_+ee, sqrt(as_*ee)],[., bs]].
+                q, E, hi, out = args
+                q1 = q[him1]
+                q2 = q[hi]
+                bs = jnp.minimum(q1, q2)
+                as_ = jnp.maximum(q1, q2)
+                ee = E[him1]
+                t = 0.5 * ((as_ - bs) + ee)
+                s0 = bs * (ee / jnp.maximum(t, tiny))
+                s1 = jnp.where(
+                    s0 <= t,
+                    bs
+                    * (
+                        ee
+                        / jnp.maximum(
+                            t * (1 + jnp.sqrt(1 + s0 / jnp.maximum(t, tiny))),
+                            tiny,
+                        )
+                    ),
+                    bs
+                    * (
+                        ee
+                        / jnp.maximum(
+                            t + jnp.sqrt(t) * jnp.sqrt(t + s0), tiny
+                        )
+                    ),
+                )
+                tbig = as_ + (s1 + ee)
+                refine = jnp.logical_and(ee > bs * tol2, t != 0)
+                lam_small = jnp.where(
+                    refine, bs * (as_ / jnp.maximum(tbig, tiny)), bs
+                )
+                lam_big = jnp.where(refine, tbig, as_)
+                out = jnp.where(idx == hi, lam_small + accv, out)
+                out = jnp.where(idx == him1, lam_big + accv, out)
+                E = jnp.where(
+                    jnp.logical_or(idx == him1, idx == him2), zero, E
+                )
+                return q, E, hi - 2, out
+
+            q, E, hi, out = lax.cond(
+                fire1,
+                apply1,
+                lambda args: lax.cond(
+                    fire2, apply2, lambda a: a, args
+                ),
+                (q, E, hi, out),
+            )
+            return q, E, hi, out, jnp.logical_or(fire1, fire2)
+
+        q, E, hi, out, _ = lax.while_loop(
+            defl_cond, defl_body, (q, E, hi, out, jnp.bool_(True))
+        )
         # progress guard (belt-and-braces beneath the splitting): if no
         # deflation lands for 60 consecutive sweeps, declare the run stuck;
         # the bisection safety net below measures BOTH faster and more
@@ -403,83 +519,337 @@ def dqds_svdvals(d, e, max_sweeps=None, with_info=False):
         since = jnp.where(hi < hi_in, jnp.int32(0), since + 1)
         stuck = jnp.logical_or(stuck, since > 60)
 
+        # ---- dlasq2-style qd-array REVERSAL: deflation only happens at
+        # the bottom, so when the window is ordered with its large values
+        # there (CBIAS*q[lo] < q[hi]), flip it — otherwise the interior/top
+        # minimum caps every shift (long case-6 stretches of weak g*dmin
+        # shifts; measured 204/826 passes on the stall spectrum before
+        # this).  The 1.5 bias makes the flip self-limiting (1.5a < b and
+        # 1.5b < a cannot both hold).  accv is uniform within a window, so
+        # only q and E reverse; the previous sweep's pivot stats describe
+        # the old orientation — reset them (next sweep is a plain dqd,
+        # exactly how dlasq2 starts a freshly flipped block).
+        do_flip = jnp.logical_and(hi - lo >= 2, 1.5 * q[lo] < q[hi])
+        in_q = jnp.logical_and(idx >= lo, idx <= hi)
+        in_E = jnp.logical_and(idx >= lo, idx <= hi - 1)
+        rev_q = q[jnp.clip(lo + hi - idx, 0, n - 1)]
+        rev_E = E[jnp.clip(lo + hi - 1 - idx, 0, n - 1)]
+        q = jnp.where(jnp.logical_and(do_flip, in_q), rev_q, q)
+        E = jnp.where(jnp.logical_and(do_flip, in_E), rev_E, E)
+        dmin = jnp.where(do_flip, zero, dmin)
+        dn = jnp.where(do_flip, zero, dn)
+        dm1 = jnp.where(do_flip, zero, dm1)
+        dn1v = jnp.where(do_flip, zero, dn1v)
+        dm2 = jnp.where(do_flip, zero, dm2)
+        dn2v = jnp.where(do_flip, zero, dn2v)
+        tt = jnp.where(do_flip, jnp.int32(0), tt)
+
         def do_sweep(args):
-            q, E, hi, accv, dmin, dn, dm1, dn1v, stuck = args
-            # ---- shift selection (dlasq4-flavoured, see docstring) -------
-            # interior-dmin shift fraction: the failure-correction retry
-            # makes overshoot cost one sweep, so this is tuned empirically
-            # (see docstring) rather than held at LAPACK's conservative 1/4.
-            INTERIOR = 0.75
+            (
+                q, E, hi, accv, dmin, dn, dm1, dn1v, dm2, dn2v, tt, g,
+                stuck, th,
+            ) = args
+            # ---- shift selection: the full dlasq4 case battery ----------
+            # (LAPACK dlasq4.f cases 2..12, dispatched on how many
+            # eigenvalues deflated since the previous sweep and on where
+            # the previous sweep attained its minimum pivot.  Departure,
+            # documented: LAPACK reads a few leading terms of the norm
+            # estimates from the ping-pong ALTERNATE copy of (q, e); this
+            # implementation is single-copy and uses the current values —
+            # the estimates are heuristic shift quality, never correctness,
+            # and the dlasq3-style failure-correction retry backstops.)
+            ndefl = jnp.minimum(hi_in - hi, jnp.int32(2))
             him1 = jnp.maximum(hi - 1, 0)
-            bottom = dn <= dmin * (1 + 4 * eps)
-            bottom1 = dn1v <= dm1 * (1 + 4 * eps)
-            safe_dn = jnp.maximum(dn, tiny)
-            # bottom-only (ttype -1 class): one-term Rayleigh estimate
-            ray = dn * (1 - jnp.sqrt(jnp.maximum(E[him1], zero) / safe_dn))
-            tau_bot = jnp.clip(ray, 0.5 * dmin, 0.99 * dmin)
-            # twisted bottom (ttype -2 class: BOTH minima sit at the bottom,
-            # the common asymptotic): second-order 2x2 perturbation estimate
-            # lambda_min ~ dn - b1^2/gap1 with coupling b1^2 = q[hi-1]E[hi-1]
-            # and gap1 the distance to the next diagonal entry.  Overshoot
-            # is caught by the failure-correction retry below.
-            b1sq = q[him1] * E[him1]
-            a2 = q[him1] + E[him1]
-            gap1 = a2 - dn
-            tw_wide = jnp.logical_and(gap1 > 0, gap1 * gap1 > b1sq)
-            s_tw = dn - b1sq / jnp.maximum(gap1, tiny)
-            tau_tw = jnp.where(
-                tw_wide,
-                jnp.maximum(s_tw, 0.5 * dmin),
-                jnp.maximum(dn - jnp.sqrt(jnp.maximum(b1sq, zero)),
-                            dmin / 3),
+            him2 = jnp.maximum(hi - 2, 0)
+            him3 = jnp.maximum(hi - 3, 0)
+
+            def sq(x):
+                return jnp.sqrt(jnp.maximum(x, zero))
+
+            # "minimum pivot attained at the k-th-from-bottom position":
+            # LAPACK's exact equality tests, under a 4-eps tolerance
+            # (dminK <= dnJ holds by construction, so one-sided).
+            at_dn = dn <= dmin * (1 + 4 * eps)
+            at_dn1 = dn1v <= dmin * (1 + 4 * eps)
+            at_dn2 = dn2v <= dmin * (1 + 4 * eps)
+            m1_at = dn1v <= dm1 * (1 + 4 * eps)
+            m2_at = dn2v <= dm2 * (1 + 4 * eps)
+
+            def norm_tail(start, b0, a0):
+                """dlasq4 'approximate contribution to norm squared': walk
+                i = start..lo accumulating a += (b *= E[i]/q[i]); abort
+                (valid=False -> caller keeps its fallback shift, LAPACK's
+                RETURN) on any E[i] > q[i]; stop early once the sum has
+                converged (100*max(b', b) < a) or exceeded CNST1."""
+
+                def ncond(c):
+                    return ~c[3]
+
+                def nbody(c):
+                    i, a, b, done, valid = c
+                    j = jnp.maximum(i, 0)
+                    qi = jnp.maximum(q[j], tiny)
+                    Ei = E[j]
+                    live = i >= lo
+                    bad = jnp.logical_and(live, Ei > qi)
+                    bn = b * (Ei / qi)
+                    an = a + bn
+                    stop = jnp.logical_or(
+                        100.0 * jnp.maximum(bn, b) < an, an > CNST1
+                    )
+                    upd = jnp.logical_and(live, ~bad)
+                    a = jnp.where(upd, an, a)
+                    b = jnp.where(upd, bn, b)
+                    done = jnp.logical_or(
+                        ~live,
+                        jnp.logical_or(bad, jnp.logical_or(stop, bn == 0)),
+                    )
+                    return i - 1, a, b, done, jnp.logical_and(valid, ~bad)
+
+                _, a, _, _, valid = lax.while_loop(
+                    ncond,
+                    nbody,
+                    (start, a0, b0, jnp.bool_(False), jnp.bool_(True)),
+                )
+                return a, valid
+
+            def shift_nodefl(_):
+                # no deflation since the previous sweep (dlasq4 N0IN == N0)
+                def case23(_):
+                    # cases 2/3: min at the bottom AND dmin1 at dn1 (the
+                    # twisted asymptotic).  2x2-perturbation shift with a
+                    # gap estimate refined through dmin2.
+                    b1 = sq(q[hi]) * sq(E[him1])
+                    b2 = sq(q[him1]) * sq(E[him2])
+                    a2 = q[him1] + E[him1]
+                    gap2 = dm2 - a2 - 0.25 * dm2
+                    gap1 = jnp.where(
+                        jnp.logical_and(gap2 > 0, gap2 > b2),
+                        a2 - dn - (b2 / gap2) * b2,
+                        a2 - dn - (b1 + b2),
+                    )
+                    s2 = jnp.maximum(
+                        dn - (b1 / jnp.maximum(gap1, tiny)) * b1, 0.5 * dmin
+                    )
+                    s3 = jnp.where(dn > b1, dn - b1, zero)
+                    s3 = jnp.where(
+                        a2 > b1 + b2, jnp.minimum(s3, a2 - (b1 + b2)), s3
+                    )
+                    s3 = jnp.maximum(s3, dmin / 3)
+                    use2 = jnp.logical_and(gap1 > 0, gap1 > b1)
+                    return (
+                        jnp.where(use2, s2, s3),
+                        jnp.where(use2, jnp.int32(-2), jnp.int32(-3)),
+                        g,
+                    )
+
+                def case4(_):
+                    # case 4: min at dn (but dmin1 not at dn1) or at dn1 —
+                    # Rayleigh-quotient residual bound via the norm tail.
+                    gam = jnp.where(at_dn, dn, dn1v)
+                    b2i = jnp.where(
+                        at_dn,
+                        E[him1] / jnp.maximum(q[him1], tiny),
+                        E[him2] / jnp.maximum(q[him2], tiny),
+                    )
+                    a2i = jnp.where(
+                        at_dn, b2i, E[him1] / jnp.maximum(q[hi], tiny) + b2i
+                    )
+                    start = jnp.where(at_dn, hi - 2, hi - 3)
+                    pre_ok = jnp.where(
+                        at_dn,
+                        E[him1] <= q[him1],
+                        jnp.logical_and(
+                            E[him1] <= q[hi], E[him2] <= q[him2]
+                        ),
+                    )
+                    a2f, valid = norm_tail(start, b2i, a2i)
+                    a2f = CNST3 * a2f
+                    ok = jnp.logical_and(
+                        jnp.logical_and(pre_ok, valid), a2f < CNST1
+                    )
+                    s = jnp.where(
+                        ok,
+                        gam * (1 - jnp.sqrt(a2f)) / (1 + a2f),
+                        0.25 * dmin,
+                    )
+                    return s, jnp.int32(-4), g
+
+                def case5(_):
+                    # case 5: min at dn2 — same residual bound, two rows up.
+                    pre_ok = jnp.logical_and(
+                        E[him2] <= q[him1], E[him1] <= q[hi]
+                    )
+                    a2i = (E[him1] / jnp.maximum(q[hi], tiny)) * (
+                        1 + E[him2] / jnp.maximum(q[him1], tiny)
+                    )
+
+                    def tail(_):
+                        b2i = E[him3] / jnp.maximum(q[him3], tiny)
+                        a2f, valid = norm_tail(hi - 4, b2i, a2i + b2i)
+                        return CNST3 * a2f, valid
+
+                    a2f, valid = lax.cond(
+                        hi - lo > 2,
+                        tail,
+                        lambda _: (a2i, jnp.bool_(True)),
+                        None,
+                    )
+                    ok = jnp.logical_and(
+                        jnp.logical_and(pre_ok, valid), a2f < CNST1
+                    )
+                    s = jnp.where(
+                        ok,
+                        dn2v * (1 - jnp.sqrt(a2f)) / (1 + a2f),
+                        0.25 * dmin,
+                    )
+                    return s, jnp.int32(-5), g
+
+                def case6(_):
+                    # case 6: interior minimum, no structure to exploit —
+                    # g*dmin with the dlasq4 G history (grows toward 1 on
+                    # consecutive case-6 sweeps; resets cautious after a
+                    # failure-corrected sweep, ttype -18).
+                    gn = jnp.where(
+                        tt == -6,
+                        g + (1 - g) / 3,
+                        jnp.where(
+                            tt == -18,
+                            jnp.asarray(1.0 / 12.0, dtype),
+                            jnp.asarray(0.25, dtype),
+                        ),
+                    )
+                    return gn * dmin, jnp.int32(-6), gn
+
+                twisted = jnp.logical_and(at_dn, m1_at)
+                return lax.cond(
+                    jnp.logical_or(at_dn, at_dn1),
+                    lambda _: lax.cond(twisted, case23, case4, None),
+                    lambda _: lax.cond(at_dn2, case5, case6, None),
+                    None,
+                )
+
+            def shift_one(_):
+                # one eigenvalue deflated: dmin1/dn1 proxy the shrunk
+                # window's dmin/dn (dlasq4 N0IN == N0 + 1, cases 7/8/9)
+                def case78(_):
+                    s0 = dm1 / 3
+                    pre_ok = E[him1] <= q[him1]
+                    b0 = E[him1] / jnp.maximum(q[him1], tiny)
+                    a2f, valid = norm_tail(hi - 2, b0, b0)
+                    b2s = jnp.sqrt(CNST3 * a2f)
+                    a2v = dm1 / (1 + b2s * b2s)
+                    gap2 = 0.5 * dm2 - a2v
+                    wide = jnp.logical_and(gap2 > 0, gap2 > b2s * a2v)
+                    ref = jnp.where(
+                        wide,
+                        a2v
+                        * (
+                            1
+                            - CNST2
+                            * a2v
+                            * (b2s / jnp.maximum(gap2, tiny))
+                            * b2s
+                        ),
+                        a2v * (1 - CNST2 * b2s),
+                    )
+                    s = jnp.where(
+                        jnp.logical_and(pre_ok, valid),
+                        jnp.maximum(s0, ref),
+                        s0,
+                    )
+                    ttn = jnp.where(wide, jnp.int32(-7), jnp.int32(-8))
+                    return s, ttn, g
+
+                def case9(_):
+                    return (
+                        jnp.where(m1_at, 0.5 * dm1, 0.25 * dm1),
+                        jnp.int32(-9),
+                        g,
+                    )
+
+                return lax.cond(
+                    jnp.logical_and(m1_at, m2_at), case78, case9, None
+                )
+
+            def shift_two(_):
+                # two eigenvalues deflated: dmin2/dn2 are the proxies
+                # (dlasq4 N0IN == N0 + 2, cases 10/11)
+                def case10(_):
+                    s0 = dm2 / 3
+                    pre_ok = E[him1] <= q[him1]
+                    b0 = E[him1] / jnp.maximum(q[him1], tiny)
+                    a2f, valid = norm_tail(hi - 2, b0, b0)
+                    b2s = jnp.sqrt(CNST3 * a2f)
+                    a2v = dm2 / (1 + b2s * b2s)
+                    gap2 = (
+                        q[him1] + E[him2] - sq(q[him2]) * sq(E[him2]) - a2v
+                    )
+                    wide = jnp.logical_and(gap2 > 0, gap2 > b2s * a2v)
+                    ref = jnp.where(
+                        wide,
+                        a2v
+                        * (
+                            1
+                            - CNST2
+                            * a2v
+                            * (b2s / jnp.maximum(gap2, tiny))
+                            * b2s
+                        ),
+                        a2v * (1 - CNST2 * b2s),
+                    )
+                    s = jnp.where(
+                        jnp.logical_and(pre_ok, valid),
+                        jnp.maximum(s0, ref),
+                        s0,
+                    )
+                    return s, jnp.int32(-10), g
+
+                def case11(_):
+                    return 0.25 * dm2, jnp.int32(-11), g
+
+                c10 = jnp.logical_and(m2_at, 2 * E[him1] < q[him1])
+                return lax.cond(c10, case10, case11, None)
+
+            tau, ttn, gn = lax.switch(
+                ndefl, [shift_nodefl, shift_one, shift_two], None
             )
-            tau_tw = jnp.minimum(tau_tw, 0.999 * dmin)
-            tau = jnp.where(
-                jnp.logical_and(bottom, dn > 0),
-                jnp.where(
-                    jnp.logical_and(bottom1, dn1v > 0), tau_tw, tau_bot
-                ),
-                INTERIOR * dmin,
-            )
-            # 2-entry window: shift by the EXACT smaller eigenvalue of the
-            # trailing 2x2 (trace/det in qd quantities; smaller root via the
-            # stable formula) — one sweep then deflates the pair (LAPACK
-            # dlasq2 special-cases these sizes the same way).
-            tr2 = q[lo] + q[hi] + E[him1]
-            det2 = q[lo] * q[hi]
-            disc2 = jnp.sqrt(jnp.maximum(tr2 * tr2 - 4 * det2, zero))
-            lam2 = 2 * det2 / jnp.maximum(tr2 + disc2, tiny)
-            tau = jnp.where(hi - lo == 1, lam2 * (1 - 4 * eps), tau)
+            # (2-entry windows never reach here: the deflation loop above
+            # resolves them exactly, dlasq3-style, at zero sweep cost.)
             tau = jnp.maximum(zero, tau)
-            q1, E1, dminP, dnP, dm1P, dn1P, ok = sweep(q, E, lo, hi, tau)
+            q1, E1, dminP, dnP, dm1P, dn1P, dm2P, dn2P, ok = sweep(
+                q, E, lo, hi, tau
+            )
 
             def corrected(_):
                 # dlasq3 failure correction: the failed sweep's (negative)
                 # dmin bounds the overshoot, so tau + dmin is a safe-side
                 # estimate that keeps most of the aggressive shift.  A NaN
                 # dmin (overflowed sweep) poisons tau2, which simply makes
-                # this retry fail too and drops to the dqd below.
+                # this retry fail too and drops to the dqd below.  ttype
+                # -18 records the failure so the next case-6 G is cautious.
                 tau2 = jnp.maximum(zero, tau + dminP)
-                q2, E2, dmin2, dn2, dm12, dn12, ok2 = sweep(
-                    q, E, lo, hi, tau2
-                )
+                r2 = sweep(q, E, lo, hi, tau2)
 
                 def dqd(_):
-                    q3, E3, dmin3, dn3, dm13, dn13, ok3 = sweep(
-                        q, E, lo, hi, zero
-                    )
-                    return q3, E3, dmin3, dn3, dm13, dn13, zero, ok3
+                    r3 = sweep(q, E, lo, hi, zero)
+                    return r3 + (zero, jnp.int32(0))
 
                 return lax.cond(
-                    ok2,
-                    lambda _: (q2, E2, dmin2, dn2, dm12, dn12, tau2, ok2),
+                    r2[-1],
+                    lambda _: r2 + (tau2, jnp.int32(-18)),
                     dqd,
                     None,
                 )
 
-            q1, E1, dminP, dnP, dm1P, dn1P, tau, ok = lax.cond(
+            (
+                q1, E1, dminP, dnP, dm1P, dn1P, dm2P, dn2P, ok, tau, ttn
+            ) = lax.cond(
                 ok,
-                lambda _: (q1, E1, dminP, dnP, dm1P, dn1P, tau, ok),
+                lambda _: (
+                    q1, E1, dminP, dnP, dm1P, dn1P, dm2P, dn2P, ok, tau,
+                    ttn,
+                ),
                 corrected,
                 None,
             )
@@ -491,35 +861,49 @@ def dqds_svdvals(d, e, max_sweeps=None, with_info=False):
             dnP = jnp.where(ok, dnP, dn)
             dm1P = jnp.where(ok, dm1P, dm1)
             dn1P = jnp.where(ok, dn1P, dn1v)
+            dm2P = jnp.where(ok, dm2P, dm2)
+            dn2P = jnp.where(ok, dn2P, dn2v)
             tau = jnp.where(ok, tau, zero)
+            ttn = jnp.where(ok, ttn, jnp.int32(0))
             in_win = jnp.logical_and(idx >= lo, idx <= hi)
             accv = accv + jnp.where(in_win, tau, zero)
-            return q1, E1, hi, accv, dminP, dnP, dm1P, dn1P, ~ok
+            th = args[-1].at[jnp.minimum(-ttn, 18)].add(1)
+            return (
+                q1, E1, hi, accv, dminP, dnP, dm1P, dn1P, dm2P, dn2P, ttn,
+                gn, jnp.logical_or(stuck, ~ok), th,
+            )
 
-        # the shift-carry (dmin, dn, dmin1, dn1) describes the PREVIOUS
-        # window; after a deflation reset it so the next sweep is a safe
-        # zero-shift dqd.  (A NEW split mid-window leaves a stale dmin too —
-        # that case is covered by the failure-correction path instead.)
-        dmin = jnp.where(hi < hi_in, zero, dmin)
-        dn = jnp.where(hi < hi_in, zero, dn)
-        dm1 = jnp.where(hi < hi_in, zero, dm1)
-        dn1v = jnp.where(hi < hi_in, zero, dn1v)
-
-        q, E, hi, accv, dmin, dn, dm1, dn1v, stuck = lax.cond(
+        # the shift-carry (dmin..dn2, ttype, g) describes the PREVIOUS
+        # window; after a deflation the dlasq4 N0IN cases (7..11) consume
+        # dmin1/dmin2 as proxies for the shrunk window — no reset needed.
+        # (A NEW split mid-window leaves a stale dmin — that case is
+        # covered by the failure-correction retry instead.)
+        (
+            q, E, hi, accv, dmin, dn, dm1, dn1v, dm2, dn2v, tt, g, stuck,
+            th,
+        ) = lax.cond(
             hi - lo >= 1,
             do_sweep,
             lambda args: args,
-            (q, E, hi, accv, dmin, dn, dm1, dn1v, stuck),
+            (
+                q, E, hi, accv, dmin, dn, dm1, dn1v, dm2, dn2v, tt, g,
+                stuck, th,
+            ),
         )
-        return q, E, hi, accv, dmin, dn, dm1, dn1v, it + 1, since, out, stuck
+        return (
+            q, E, hi, accv, dmin, dn, dm1, dn1v, dm2, dn2v, tt, g, it + 1,
+            since, out, stuck, th,
+        )
 
     st = (
         q0, E0, jnp.int32(n - 1), jnp.zeros((n,), dtype), zero, zero, zero,
-        zero, jnp.int32(0), jnp.int32(0), jnp.zeros((n,), dtype),
-        jnp.bool_(False),
+        zero, zero, zero, jnp.int32(0), jnp.asarray(0.25, dtype),
+        jnp.int32(0), jnp.int32(0), jnp.zeros((n,), dtype),
+        jnp.bool_(False), jnp.zeros((19,), jnp.int32),
     )
     (
-        q, E, hi, accv, dmin, dn, dm1, dn1v, it, since, out, stuck
+        q, E, hi, accv, dmin, dn, dm1, dn1v, dm2, dn2v, tt, g, it, since,
+        out, stuck, th,
     ) = lax.while_loop(cond, body, st)
     out = jnp.where(idx <= hi, q + accv, out)  # flush if capped/stuck
     sig = scale * jnp.sort(jnp.sqrt(jnp.maximum(out, zero)))[::-1]
@@ -527,6 +911,11 @@ def dqds_svdvals(d, e, max_sweeps=None, with_info=False):
     sig = lax.cond(
         hi < 0, lambda _: sig, lambda _: bisect_svdvals(d, e), None
     )
+    if with_info == "debug":
+        # diagnostic: sweep count + histogram of the dlasq4 shift types
+        # fired (indexed by -ttype; 18 = failure-corrected retries,
+        # 0 = zero-shift dqd fallbacks)
+        return sig, it, th
     if with_info:
         return sig, it
     return sig

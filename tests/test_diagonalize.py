@@ -195,9 +195,13 @@ def test_svdvals_diag_dqds(rng):
 
 def test_dqds_sweep_count_regression():
     # the recorded stall-class spectrum (random n=120, seed 0): sweep
-    # counts 5594 (pre-splitting) -> 1293 (round-2 battery) -> ~1028
-    # (dlasq4 twisted-case split).  Gate both the count and the relative
-    # accuracy so shift-battery changes can't silently regress either.
+    # counts 5594 (pre-splitting) -> 1293 (round-2 battery) -> 1028
+    # (dlasq4 twisted-case split) -> 865 (round-4 full dlasq4 battery +
+    # dlasq3 exact-2x2 deflation + qd reversal).  LAPACK dlasq2 itself,
+    # called head-to-head on this spectrum via ctypes, reports 877
+    # iterations (Z(2N+3)) — the gate below is LAPACK-parity class.
+    # Gate both the count and the relative accuracy so shift-battery
+    # changes can't silently regress either.
     from svdsolver_tpu.models.diagonalize import dqds_svdvals
 
     g = np.random.default_rng(0)
@@ -205,7 +209,7 @@ def test_dqds_sweep_count_regression():
     d = jnp.asarray(g.standard_normal(n))
     e = jnp.asarray(g.standard_normal(n - 1))
     sig, info = dqds_svdvals(d, e, with_info=True)
-    assert int(info) <= 1100, int(info)
+    assert int(info) <= 900, int(info)
     B = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
     want = np.linalg.svd(B, compute_uv=False)
     rel = np.max(
