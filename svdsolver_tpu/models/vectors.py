@@ -561,17 +561,114 @@ def _apply_chase_reflectors_wy(V, T, M, band):
     return Mp[: M.shape[0]]
 
 
+@functools.partial(jax.jit, static_argnames=("band",))
+def _apply_chase_reflectors_wy_carry(V, T, M, band):
+    """Overlap-carry form of :func:`_apply_chase_reflectors_wy`: the same
+    (group g desc, slot s asc) compact-WY walk, with two measured-cost
+    reductions (round-4 microbench, n=3840, b=128, HIGHEST precision —
+    the walk splits ~50/50 between HBM traffic and small-GEMM passes):
+
+    * **Overlap carry.**  Slot s's segment rows ``[r(s), r(s)+2b)`` and
+      slot s+1's ``[r(s)+b, r(s)+3b)`` share b rows, so the within-group
+      slot walk carries the updated tail block: each step loads only the
+      b fresh rows and stores only the b retiring rows — half the HBM
+      traffic of re-slicing the full 2b segment per step.
+    * **T-fold.**  ``seg - V (T (V^T seg))`` becomes ``seg - (V T)(V^T seg)``
+      with ``VT`` precomputed batched over all (g, s): two GEMMs per step
+      instead of three.  (Association change: output matches the sequential
+      walk to roundoff, not bitwise.)
+
+    Plus a work trim: sweep i records only slots 0..nc(i) (the chase hop
+    budget), so each group's scan stops at its own static slot count —
+    ~540 of the 930 (g, s) steps at n=3840/b=128 carry any content.  The
+    group loop unrolls in Python (static g: static V/VT slices, static row
+    bases); per-step V/VT blocks stream in as ``lax.scan`` xs (no per-step
+    dynamic gathers from the (ng, s_max, ...) block arrays — a measured
+    ~30% cost of the fori/index form).
+
+    Measured (pair form, n=3840, b=128): 122 -> 74 ms.  A wave-batched
+    re-schedule of the same walk (batching the ~s_max/2 independent (g, s)
+    steps of an anti-diagonal into one GEMM) measured SLOWER (252 vs
+    122 ms): the walk is traffic- and MXU-pass-bound, not dispatch-bound,
+    so batching buys nothing and the gather/scatter of strided member
+    windows adds copies.
+    """
+    n_sweeps, s_max, b = V.shape
+    ncols = M.shape[1]
+    G = b
+    n_groups = -(-n_sweeps // G)
+    pad_s = n_groups * G - n_sweeps
+    dtype = M.dtype
+    Vp = jnp.pad(V, ((0, pad_s), (0, 0), (0, 0)))
+    Tp = jnp.pad(T, ((0, pad_s), (0, 0)))
+    Vg = Vp.reshape(n_groups, G, s_max, b).transpose(0, 2, 1, 3)
+    Tg = Tp.reshape(n_groups, G, s_max).transpose(0, 2, 1)
+    Vg = jnp.where(Tg[..., None] == 0, jnp.zeros((), dtype), Vg)
+
+    rows_i = jnp.arange(G)[:, None]
+    cols_i = jnp.arange(b)[None, :] + rows_i
+
+    def build(vg, tg):
+        F = jnp.zeros((G, G + b), dtype).at[rows_i, cols_i].set(vg)
+        Vb = F.T
+        Tb = _larft_closed_form(Vb, tg)
+        return Vb, pdot(Vb, Tb)
+
+    Vb, VTb = jax.vmap(jax.vmap(build))(Vg, Tg)  # (ng, s_max, G+b, G) x2
+
+    P = n_groups * G + s_max * b + 1
+    Mp = jnp.pad(M, ((0, P + G + b - M.shape[0]), (0, 0)))
+
+    # Per-group slot budget: sweep i records slots 0..nc(i) only (nc = hop
+    # count of the chase schedule, decreasing in i), so group g's slots
+    # beyond nc(gG)+1 are identically tau=0 — skip them (at n=3840/b=128
+    # this trims the walk from ng*s_max = 930 steps to ~540).  The group
+    # loop unrolls in Python: g is static, so the V/VT blocks are static
+    # slices and each group's scan has its own static slot count.
+    n_prob = n_sweeps + 1  # band matrix dimension the records came from
+    w2 = 2 * (b + 1) - 1
+
+    def nc_of(i):
+        return max(0, -(-(n_prob - (i + w2)) // b)) + 1
+
+    for g in range(n_groups - 1, -1, -1):
+        s_g = min(s_max, nc_of(g * G) + 1)
+        r0 = g * G + 1
+        head = lax.slice_in_dim(Mp, r0, r0 + b, axis=0)
+
+        def slot(carry, xs, r0=r0):
+            Mp, head, s = carry
+            Vs, VTs = xs
+            rs = r0 + s * b
+            z = jnp.zeros((), rs.dtype)
+            fresh = lax.dynamic_slice(Mp, (rs + b, z), (b, ncols))
+            seg = jnp.concatenate([head, fresh])
+            coef = pdot(Vs.T, seg)
+            seg = seg - pdot(VTs, coef)
+            Mp = lax.dynamic_update_slice(Mp, seg[:b], (rs, z))
+            return (Mp, seg[b:], s + 1), None
+
+        (Mp, tail, _), _ = lax.scan(
+            slot,
+            (Mp, head, jnp.int32(0)),
+            (Vb[g, :s_g], VTb[g, :s_g]),
+        )
+        Mp = lax.dynamic_update_slice(Mp, tail, (r0 + s_g * b, 0))
+
+    return Mp[: M.shape[0]]
+
+
 def _apply_chase_reflectors_wy_pair(VL, TL, VR, TR, ML, MR, band):
     """Both chase back-transforms (``L @ Ub`` and ``R @ Vb``) in ONE
     vmapped walk: the left and right record sets have identical shape and
-    slot schedule, so stacking them turns every sequential two-GEMM step
-    of :func:`_apply_chase_reflectors_wy` into one BATCHED two-GEMM step —
-    half the sequential GEMM chain of the back-transform tail."""
+    slot schedule, so stacking them turns every two-GEMM step of
+    :func:`_apply_chase_reflectors_wy_carry` into one BATCHED two-GEMM
+    step — half the sequential GEMM chain of the back-transform tail."""
     V2 = jnp.stack([VL, VR])
     T2 = jnp.stack([TL, TR])
     M2 = jnp.stack([ML, MR])
     out = jax.vmap(
-        _apply_chase_reflectors_wy, in_axes=(0, 0, 0, None)
+        _apply_chase_reflectors_wy_carry, in_axes=(0, 0, 0, None)
     )(V2, T2, M2, band)
     return out[0], out[1]
 
