@@ -55,12 +55,16 @@ def main():
 
     t0 = time.perf_counter()
     run(A)
-    print(f"compile+first run: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+    print(f"stage1 compile+first run: {time.perf_counter() - t0:.2f}s",
+          file=sys.stderr)
 
     # Loop-timed (5 back-to-back calls, one final sync): a single-shot
     # sync carries the ~25-50 ms tunnel RTT, which is platform overhead,
-    # not device time (PERF_NOTES measurement note).
-    reps = 3
+    # not device time.  MEDIAN of 5 loop measurements (not min-of-3):
+    # remote-compile binary variance swings same-code sessions ~1.3x
+    # (PERF_NOTES "Session variance"), and the median is the stabler
+    # round-over-round statistic (VERDICT r4 #4).
+    reps = 5
     loop = 5
     times = []
     for _ in range(reps):
@@ -70,7 +74,7 @@ def main():
             out = stage1(A, band=BAND)
         float(np.asarray(out[0, 0]))
         times.append((time.perf_counter() - t0) / loop)
-    t = min(times)
+    t = _median(times)
     flops = 8 / 3 * N**3  # two-sided blocked reduction FLOP count
     gflops = flops / t / 1e9
     print(f"stage1 times: {times}  gflops: {gflops:.1f}", file=sys.stderr)
@@ -85,13 +89,16 @@ def main():
         def run_ns(x):
             return np.asarray(svdvals(x, method="tpu2"))
 
+        t0 = time.perf_counter()
         run_ns(Ans)  # compile
+        print(f"northstar compile+first run: {time.perf_counter() - t0:.2f}s",
+              file=sys.stderr)
         ns_times = []
         for _ in range(reps):
             t0 = time.perf_counter()
             sig = run_ns(Ans)
             ns_times.append(time.perf_counter() - t0)
-        ns_s = min(ns_times)
+        ns_s = _median(ns_times)
         ref = np.linalg.svd(np.asarray(Ans, np.float64), compute_uv=False)
         ns_err = float(np.max(np.abs(sig - ref)) / ref[0])
         print(
@@ -111,24 +118,44 @@ def main():
         def run_sc(x):
             return np.asarray(svdvals(x, method="tpu2")[0])
 
+        t0 = time.perf_counter()
         run_sc(Asc)  # compile
+        print(f"scale compile+first run: {time.perf_counter() - t0:.2f}s",
+              file=sys.stderr)
         sc_times = []
         for _ in range(reps):
             t0 = time.perf_counter()
             run_sc(Asc)
             sc_times.append(time.perf_counter() - t0)
-        sc_s = min(sc_times)
+        sc_s = _median(sc_times)
         print(f"scale: svdvals {SCN}^2 fp32 times {sc_times}", file=sys.stderr)
         del Asc
     except Exception as exc:
         print(f"scale bench failed: {exc}", file=sys.stderr)
 
-    # full-pipeline breakdown (flagship tpu2 path, auto band) to stderr
+    # full-pipeline breakdown (flagship tpu2 path, auto band): the three
+    # stage timings go INTO the JSON line so the drift guard covers the
+    # component that actually swings between sessions (VERDICT r4 #4 —
+    # BENCH_r04 recorded stage2 67 ms where the judge re-measured 43 ms,
+    # invisible to a guard that only sees the headline).
+    pipe_metrics = {}
     try:
         from svdsolver_tpu.utils.profiling import stage_timings
 
+        t0 = time.perf_counter()
         st = stage_timings(A, method="tpu2")
-        print(f"full pipeline (tpu2, band={st['band']}): {st}", file=sys.stderr)
+        print(
+            f"full pipeline (tpu2, band={st['band']}, incl compile "
+            f"{time.perf_counter() - t0:.1f}s): {st}",
+            file=sys.stderr,
+        )
+        pipe_metrics = {
+            "pipeline_N3200_stage1_s": round(st["stage1_dense_to_band_s"], 4),
+            "pipeline_N3200_stage2_s": round(
+                st["stage2_band_to_bidiagonal_s"], 4
+            ),
+            "pipeline_N3200_diag_s": round(st["diagonalization_s"], 4),
+        }
     except Exception as exc:
         print(f"stage_timings failed: {exc}", file=sys.stderr)
 
@@ -152,13 +179,19 @@ def main():
                 sync(out[1])
                 return out
 
+            t0 = time.perf_counter()
             run_svd(Asv, 1)  # compile
+            print(
+                f"svd {SN} compile+first run: "
+                f"{time.perf_counter() - t0:.2f}s",
+                file=sys.stderr,
+            )
             sv_times = []
             for _ in range(reps):
                 t0 = time.perf_counter()
                 out = run_svd(Asv, sv_loop)
                 sv_times.append((time.perf_counter() - t0) / sv_loop)
-            svd_s = min(sv_times)
+            svd_s = _median(sv_times)
             U, s, Vh = (np.asarray(o) for o in out)
             An = np.asarray(Asv)
             svd_err = float(
@@ -268,6 +301,7 @@ def main():
         line["northstar_max_rel_err_vs_lapack"] = float(f"{ns_err:.3e}")
     if sc_s is not None:
         line["svdvals_N7680_fp32_s"] = round(sc_s, 4)
+    line.update(pipe_metrics)
     line.update(svd_metrics)
     line.update(jac_metrics)
     if cx_s is not None:
@@ -275,6 +309,12 @@ def main():
         line["complex_svd_N512_recon_rel_err"] = float(f"{cx_err:.3e}")
     _drift_check(line)
     print(json.dumps(line))
+
+
+def _median(xs):
+    xs = sorted(xs)
+    m = len(xs) // 2
+    return xs[m] if len(xs) % 2 else 0.5 * (xs[m - 1] + xs[m])
 
 
 def _drift_check(line, factor=1.5):

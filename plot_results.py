@@ -16,7 +16,16 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 
-MODELS = ["base", "singlecore", "multicore", "tpu1", "tpu2", "diagonal"]
+MODELS = [
+    "base",
+    "singlecore",
+    "multicore",
+    "tpu1",
+    "tpu2",
+    "jacobi",
+    "diagonal",
+    "diagonal_qr",
+]
 
 
 def load_csv(path):

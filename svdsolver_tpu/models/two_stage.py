@@ -25,6 +25,7 @@ from jax import lax
 
 from svdsolver_tpu.ops.householder import householder_vector
 from svdsolver_tpu.ops.precision import pdot
+from svdsolver_tpu.ops.chase_schedule import nc_of, nc_of_static, s_max_of
 
 
 def _panel_qr_step(A, c0, r_off, b):
@@ -333,7 +334,7 @@ def band_to_bidiagonal(A, band=32):
         W = lax.dynamic_slice(Ap, (i, i + 1), (w, 2 * w - 2))
         Ap = lax.dynamic_update_slice(Ap, top_pair(W), (i, i + 1))
         # Chase: window corners advance w-1 per iteration.
-        n_chase = lax.max(jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // step)) + 1
+        n_chase = nc_of(i, n, w - 1)
 
         def chase(k, Ap):
             r = i + 1 + k * step
@@ -385,7 +386,7 @@ def band_to_bidiagonal_accum(A, band=32):
     pad = 2 * w + 2
     Ap = jnp.pad(A, ((0, pad), (0, pad)))
     step = w - 1
-    s_max = max(0, -(-(n - (2 * w - 1)) // step)) + 2  # top + max chase slots
+    s_max = s_max_of(n, w - 1)  # top + max chase slots
 
     top_pair, chase_pair = make_window_pairs(w, record=True)
 
@@ -399,9 +400,7 @@ def band_to_bidiagonal_accum(A, band=32):
         tR = jnp.zeros((s_max,), dtype).at[0].set(tr)
         vL = jnp.zeros((s_max, b), dtype).at[0].set(vl[: w - 1])
         tL = jnp.zeros((s_max,), dtype).at[0].set(tl)
-        n_chase = lax.max(
-            jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // step)
-        ) + 1
+        n_chase = nc_of(i, n, w - 1)
 
         def chase(k, carry):
             Ap, vR, tR, vL, tL = carry
@@ -454,7 +453,7 @@ def band_to_bidiagonal_wavefront(A, band=32):
     ww = 2 * w - 2  # chase window edge
     # Longest sweep (i=0) chase-slot count; every sweep gets S_max slots —
     # overshoot windows land in zero padding and degenerate to no-ops.
-    s_max = max(0, -(-(n - (2 * w - 1)) // step)) + 1
+    s_max = nc_of_static(0, n, w - 1)
     pad = 6 * w  # genuine windows stay below n + 3w; dummy corner above n + 4w
     Ap = jnp.pad(A, ((0, pad), (0, pad)))
     Np = n + pad

@@ -39,6 +39,7 @@ from jax import lax
 
 from svdsolver_tpu.ops.householder import householder_vector
 from svdsolver_tpu.ops.precision import pdot
+from svdsolver_tpu.ops.chase_schedule import nc_of_static, s_max_of
 from svdsolver_tpu.models.diagonalize import bisect_svdvals
 
 
@@ -626,13 +627,9 @@ def _apply_chase_reflectors_wy_carry(V, T, M, band):
     # loop unrolls in Python: g is static, so the V/VT blocks are static
     # slices and each group's scan has its own static slot count.
     n_prob = n_sweeps + 1  # band matrix dimension the records came from
-    w2 = 2 * (b + 1) - 1
-
-    def nc_of(i):
-        return max(0, -(-(n_prob - (i + w2)) // b)) + 1
 
     for g in range(n_groups - 1, -1, -1):
-        s_g = min(s_max, nc_of(g * G) + 1)
+        s_g = min(s_max, nc_of_static(g * G, n_prob, b) + 1)
         r0 = g * G + 1
         head = lax.slice_in_dim(Mp, r0, r0 + b, axis=0)
 
@@ -775,7 +772,7 @@ def svd_two_stage(A, band=None, k=None):
         d, e, VL, TL, VR, TR = band_to_bidiagonal_accum(Ab, band=b)
     # trim record slots the schedule never fills (Pallas pads s_max to 8)
     np_ = Ab.shape[0]
-    s_used = max(0, -(-(np_ - (2 * (b + 1) - 1)) // b)) + 2
+    s_used = s_max_of(np_, b)
     if s_used < VL.shape[1]:
         VL, TL = VL[:, :s_used], TL[:, :s_used]
         VR, TR = VR[:, :s_used], TR[:, :s_used]
@@ -895,7 +892,7 @@ def svd_batch(As, block=None):
         Ab, U1, V1 = dense_to_band_uv(Ap, band=b)
         d, e, VL, TL, VR, TR = band_to_bidiagonal_accum(Ab, band=b)
         np_ = Ab.shape[0]
-        s_used = max(0, -(-(np_ - (2 * (b + 1) - 1)) // b)) + 2
+        s_used = s_max_of(np_, b)
         if s_used < VL.shape[1]:
             VL, TL = VL[:, :s_used], TL[:, :s_used]
             VR, TR = VR[:, :s_used], TR[:, :s_used]

@@ -34,6 +34,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from svdsolver_tpu.ops.chase_schedule import nc_of, nc_of_static, s_max_of
+
 
 def _masked_pair_eliminate(W, ro, co, lp, b):
     """Both eliminations of one chase pair on buffer ``W``; pivot at dynamic
@@ -283,10 +285,7 @@ def _chase_kernel_rec(
         # traced ones in the chase loop below) trips a PyTreeDef mismatch in
         # the Mosaic swap lowering
         do_pair(i, i + 1, 1, i * 0)
-        n_chase = (
-            jnp.maximum(jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // b))
-            + 1
-        )
+        n_chase = nc_of(i, n, b)
 
         def chase(k, carry):
             r = i + 1 + k * b
@@ -389,7 +388,7 @@ def _chase_kernel(n, b, K, A_in, A_out, W, sem_full, sem_w):
 
     def sweep(i, carry):
         do_top(i, i + 1)  # top pair (band_rd_top)
-        n_chase = jnp.maximum(jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // b)) + 1
+        n_chase = nc_of(i, n, b)
         n_mega = -(-n_chase // K)
 
         def chase(mk, carry):
@@ -442,10 +441,7 @@ def _chase_kernel_pipelined(n, b, A_in, A_out, Wb, sem_full, sem_t, sems_s, sems
 
     def sweep(i, carry):
         do_top(i, i + 1)
-        n_chase = (
-            jnp.maximum(jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // b))
-            + 1
-        )
+        n_chase = nc_of(i, n, b)
         r0_0 = ((i + 1) // 8) * 8          # aligned corners of window 0
         c0_0 = ((i + 1 + b) // 128) * 128  # advance by b per window
 
@@ -591,10 +587,7 @@ def _chase_kernel_megapipe(n, b, K, A_in, A_out, Wb, Wp, sem_full, sem_t, sems_s
 
     def sweep(i, carry):
         do_top(i, i + 1)
-        n_chase = (
-            jnp.maximum(jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // b))
-            + 1
-        )
+        n_chase = nc_of(i, n, b)
         n_mega = -(-n_chase // K)
         r0 = pl.multiple_of(((i + 1) // 8) * 8, 8)
         c0 = pl.multiple_of(((i + 1 + b) // 128) * 128, 128)
@@ -828,7 +821,7 @@ def _band_to_bidiagonal_pallas_accum(A, band=128):
     wc = -(-2 * b // 128) * 128 + 128
     RW = -(-b // 128) * 128
     CRA = -(-min(b + 128, wc) // 128) * 128
-    s_max = max(0, -(-(n - (2 * w - 1)) // b)) + 2
+    s_max = s_max_of(n, b)
     # sublane-align the per-sweep record block (Mosaic rejects unaligned
     # dim-0 slices); the pad slots stay zero -> tau 0 -> back-transform no-ops
     s_pad = -(-s_max // 8) * 8
@@ -956,7 +949,7 @@ def _band_to_bidiagonal_pallas_wf(A, band=128):
     w = b + 1
     wr = 2 * b + 8
     wc = -(-2 * b // 128) * 128 + 128
-    s_max = max(0, -(-(n - (2 * w - 1)) // b)) + 1
+    s_max = nc_of_static(0, n, b)
     n_lanes = (s_max + 2) // 3 + 2  # chase lanes + the top lane
     # pad so genuine windows fit and Np is 128-aligned (aligned dummy corner)
     base_pad = b + wc + 80

@@ -63,6 +63,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from svdsolver_tpu.ops.chase_schedule import nc_of, nc_of_static, s_max_of
+
 from svdsolver_tpu.ops.pallas.band_chase_vmem import (
     _left_elim,
     _right_elim,
@@ -203,12 +205,7 @@ def _stream_chase_kernel(
 
     # ---- phase A: streamed sweeps [0, R0) -------------------------------
     def n_chase_of(i):
-        return (
-            jnp.maximum(
-                jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // b)
-            )
-            + 1
-        )
+        return nc_of(i, n, b)
 
     def prologue(i_, p_):
         # full window-0 load of sweep ``i_`` into slot parity ``p_``
@@ -468,13 +465,7 @@ def _stream_chase_kernel(
         def sweep_tail(i, carry):
             _right_elim(BUF, b, i, 1, b + 8, w)
             _left_elim(BUF, b, i + 1)
-            n_chase = (
-                jnp.maximum(
-                    jnp.int32(0),
-                    -(-(jnp.int32(n_local) - (i + 2 * w - 1)) // b),
-                )
-                + 1
-            )
+            n_chase = nc_of(i, n_local, b)
 
             def chase(k, c2):
                 r = i + 1 + k * b
@@ -728,15 +719,15 @@ def _band_to_bidiagonal_pallas_stream_accum(A, band=128):
     )(A)
     d = d2.reshape(-1)[:n]
     e = e2.reshape(-1)[: n - 1]
-    w1 = 2 * (b + 1) - 1
-    s_max = max(0, -(-(n - w1) // b)) + 2
+
+    s_max = s_max_of(n, b)
     VR = VRr.reshape(n - 1, s_pad, 128)[:, :s_max, :b]
     VL = VLr.reshape(n - 1, s_pad, 128)[:, :s_max, :b]
     # phase-B flushes write only s_blk_B of each sweep's s_pad output rows;
     # zero every slot past the sweep's schedule (head + nc hops) so the
     # never-written remainder (uninitialized HBM) cannot leak in
     iv = jnp.arange(n - 1, dtype=jnp.int32)
-    nc = jnp.maximum(0, -(-(jnp.int32(n) - (iv + w1)) // b)) + 1
+    nc = nc_of(iv, n, b)
     slot = jnp.arange(s_max, dtype=jnp.int32)
     valid = slot[None, :] <= nc[:, None]
     VR = jnp.where(valid[:, :, None], VR, jnp.zeros((), dtype))

@@ -63,13 +63,8 @@ from svdsolver_tpu.ops.pallas.band_chase_vmem import (
 LANE_PAD = 8  # sublane padding of the pivot-row batch buffer
 
 
-def _nc_of(i, n, b):
-    """Hop count of sweep ``i`` (scalar or vector int32)."""
-    w = b + 1
-    return (
-        jnp.maximum(jnp.int32(0), -(-(jnp.int32(n) - (i + 2 * w - 1)) // b))
-        + 1
-    )
+from svdsolver_tpu.ops.chase_schedule import nc_of as _nc_of
+from svdsolver_tpu.ops.chase_schedule import s_max_of as _s_max_of
 
 
 def _right_apply(P, b, r, v0, tau, SL, RL):
@@ -345,6 +340,342 @@ def _wave_tick(P, n, b, L, PR, XC, T, i_lo=None, i_hi=None, row_off=None):
                 P, b, r_l + b, Vl[:, l : l + 1], taul[:, l : l + 1]
             )
         )
+
+
+def _pend_correct(P, b, r, vp, taup):
+    """Phase G of the deferred-left tick: read the pending-left region
+    ``[r8, r8+b+8)`` (the pending reflector's pivot row r1 equals the
+    current hop's pivot row ``r``, so their 8-aligned bases coincide for
+    b % 8 == 0), compute the left apply's ``w0`` row with the exact
+    arithmetic of :func:`_left_apply`, and return ``(w0, prow)`` where
+    ``prow`` is the pivot row AS IF the pending left had been applied
+    (bitwise: row ``ro`` of ``rows - (tau*v)*Wm`` with v[ro] == 1 and
+    Wm[ro] == w0, i.e. ``rows[ro] - taup * w0``)."""
+    dtype = P.dtype
+    zero = jnp.zeros((), dtype)
+    lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
+    r8 = (r // 8) * 8
+    ro = r - r8
+    xl = lax.rem(r, jnp.int32(128)) + 128
+    rows = P[pl.ds(r8, b + 8), :WR]
+    qi = lax.broadcasted_iota(jnp.int32, (b + 8, 1), 0)
+    zone = (r8 + qi) // 128 - r // 128
+    p0 = jnp.sum(jnp.where(zone == 0, vp, zero) * rows, axis=0,
+                 keepdims=True)
+    p1 = jnp.sum(jnp.where(zone == 1, vp, zero) * rows, axis=0,
+                 keepdims=True)
+    w0 = p0 + pltpu.roll(p1, 128, 1)
+    csel = jnp.logical_and(lane_r >= xl, lane_r < xl + 2 * b)
+    w0 = jnp.where(csel, w0, zero)
+    qi8 = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    prow = jnp.sum(
+        jnp.where(qi8 == ro, rows[:8], zero), axis=0, keepdims=True
+    )
+    prow = prow - taup * w0
+    return w0, prow
+
+
+def _pend_right_apply_xcol(P, b, r, vp, taup, w0, v0, tau, XC, l):
+    """Phase A of the deferred-left tick: one (2b+8)-row slab load that
+    (1) applies the PENDING left reflector ``(vp, taup, w0)`` of hop k-1
+    to the slab's first b+8 rows (its region ``[r, r+b+8)`` is exactly the
+    head of hop k's right slab — same 8-aligned base), (2) applies the
+    right reflector ``(v0, tau)`` to the full slab, and (3) writes hop
+    k's left pivot-column extraction into ``XC[:, l]``.
+
+    The slab is processed as two statically-sliced pieces (head b+8 rows /
+    tail b rows) with separate stores: Mosaic materializes a sublane
+    concat as a full extra slab copy (measured +3 ms/chase), and the
+    full-height masked pending form costs ~2 extra 128-row passes
+    (measured +2.5 ms) — piecewise stores beat both.  Bitwise-identical
+    to _left_apply-store / _right_apply_xcol-reload: the per-row ops are
+    the same (lane reduces are per-row, so piece grouping cannot change
+    them), and ``w0`` was precomputed in phase G from the pre-tick rows
+    exactly as _left_apply computes it."""
+    dtype = P.dtype
+    zero = jnp.zeros((), dtype)
+    SL = 2 * b
+    r8 = (r // 8) * 8
+    ro = r - r8
+    rows = P[pl.ds(r8, SL + 8), :WR]
+    head = lax.slice_in_dim(rows, 0, b + 8, axis=0)
+    tail = lax.slice_in_dim(rows, b + 8, SL + 8, axis=0)
+    lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
+    qi_h = lax.broadcasted_iota(jnp.int32, (b + 8, 1), 0)
+    qi_t = lax.broadcasted_iota(jnp.int32, (b, 1), 0) + (b + 8)
+    # ---- pending left on the head piece ------------------------------
+    zone_h = (r8 + qi_h) // 128 - r // 128
+    w1 = pltpu.roll(w0, WR - 128, 1)
+    Wm_p = jnp.where(zone_h == 0, w0, w1)
+    head = head - (taup * vp) * Wm_p
+    # ---- right apply, piecewise (per-row ops: grouping-invariant) ----
+    v1 = pltpu.roll(v0, WR - 128, 1)
+    v2 = pltpu.roll(v0, WR - 256, 1)
+    Vm_h = jnp.where(zone_h == 0, v0, jnp.where(zone_h == 1, v1, v2))
+    Vm_h = jnp.where(qi_h >= ro, Vm_h, zero)
+    u_h = jnp.sum(head * Vm_h, axis=1, keepdims=True)
+    head = head - (tau * u_h) * Vm_h
+    zone_t = (r8 + qi_t) // 128 - r // 128
+    Vm_t = jnp.where(zone_t == 0, v0, jnp.where(zone_t == 1, v1, v2))
+    Vm_t = jnp.where(qi_t < ro + SL, Vm_t, zero)
+    u_t = jnp.sum(tail * Vm_t, axis=1, keepdims=True)
+    tail = tail - (tau * u_t) * Vm_t
+    P[pl.ds(r8, b + 8), :WR] = head
+    P[pl.ds(r8 + b + 8, b), :WR] = tail
+    # ---- fused extraction: xcol rows [0,8) from the head's last 8 rows,
+    # rows [8, b+8) from the tail (left slab starts at r1_8 = r8 + b) ---
+    r1 = r + b
+    xl = lax.rem(r1, jnp.int32(128)) + 128
+    he = lax.slice_in_dim(head, b, b + 8, axis=0)
+    qe_h = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    zone_eh = (r8 + b + qe_h) // 128 - r1 // 128
+    XC[pl.ds(0, 8), l : l + 1] = jnp.sum(
+        jnp.where(lane_r == xl - 128 * zone_eh, he, zero),
+        axis=1,
+        keepdims=True,
+    )
+    qe_t = lax.broadcasted_iota(jnp.int32, (b, 1), 0) + 8
+    zone_et = (r8 + b + qe_t) // 128 - r1 // 128
+    XC[pl.ds(8, b), l : l + 1] = jnp.sum(
+        jnp.where(lane_r == xl - 128 * zone_et, tail, zero),
+        axis=1,
+        keepdims=True,
+    )
+
+
+def _wave_tick_dl(P, n, b, L, PR, XC, W0, VLP, TAUP, T):
+    """Deferred-left wavefront tick (full frontier schedule).
+
+    Identical reflector sequence and bitwise-identical d/e to
+    :func:`_wave_tick`; the difference is purely mechanical: each pair's
+    LEFT apply is deferred one tick and fused into the head of the same
+    sweep's next right slab, cutting slab accesses per pair from 3
+    (gather 8 + right 264 load/store + left 136 load/store) to 2
+    (pending-region 136 load, combined 264 load/store) — the gather rides
+    the pending-region read because hop k's pivot row is row 0 of hop
+    k-1's left region.
+
+    State carried tick-to-tick in scratch: ``VLP`` ((b+8, 128)) the
+    batched left larfg's reflector columns, ``TAUP`` ((8, 128), row 0)
+    their taus, ``W0`` ((Lp, WR)) per-lane w0 rows (intra-tick, phase G
+    -> phase A).  Lane labels advance at ticks T % 3 == 1 (the frontier
+    anchor increments), so a lane's pending was written under label l-1
+    there — and a lane at hop k == 1 (only lane 0 at such ticks) takes
+    the HEAD's pending from slot L instead.  ``L`` must be
+    ``_n_lanes(n, b) + 1``: hop k runs through nc+1 (the flush of the
+    last pair's left), one lane beyond the right-active frontier.
+    """
+    w = b + 1
+    dtype = P.dtype
+    zero = jnp.zeros((), dtype)
+    Lp = PR.shape[0]
+    assert Lp >= L + 1 and L + 1 <= 128, (Lp, L)
+    lane_r = lax.broadcasted_iota(jnp.int32, (1, WR), 1)
+    qi8 = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    li = lax.broadcasted_iota(jnp.int32, (Lp, 1), 0)
+    anchor = (T + 2) // 3 - 1
+
+    head_ok = jnp.logical_and(T % 3 == 0, T // 3 <= n - 2)
+    r_h = T // 3
+
+    @pl.when(head_ok)
+    def _head_gather():
+        r8 = (r_h // 8) * 8
+        ro = r_h - r8
+        rows8 = P[pl.ds(r8, 8), :WR]
+        PR[L : L + 1, :] = jnp.sum(
+            jnp.where(qi8 == ro, rows8, zero), axis=0, keepdims=True
+        )
+
+    def lane(l):
+        i_l = anchor - l
+        k_l = T - 3 * i_l
+        r_l = i_l + 1 + (k_l - 1) * b
+        nc_l = _nc_of(i_l, n, b)
+        in_rng = jnp.logical_and(i_l >= 0, i_l <= n - 2)
+        act_r = jnp.logical_and(in_rng, k_l <= nc_l)
+        act_p = jnp.logical_and(in_rng, k_l <= nc_l + 1)
+        return i_l, k_l, r_l, act_r, act_p
+
+    def pend_of(l):
+        """Pending reflector for lane l — the writing tick already
+        canonicalized lane labels (roll-at-write below), so this is one
+        static column read per phase."""
+        return VLP[:, l : l + 1], TAUP[0:1, l : l + 1]
+
+    # ---- phase G: pending-region read -> w0 + corrected pivot row ------
+    for l in range(L):
+        i_l, k_l, r_l, act_r, act_p = lane(l)
+
+        @pl.when(act_p)
+        def _g(l=l, r_l=r_l):
+            vp, tp = pend_of(l)
+            w0, prow = _pend_correct(P, b, r_l, vp, tp)
+            W0[l : l + 1, :] = w0
+            PR[l : l + 1, :] = prow
+
+    # ---- batched right larfg (+ head slot L) ---------------------------
+    iv = anchor - li
+    kv = T - 3 * iv
+    rv = iv + 1 + (kv - 1) * b
+    xv = b + lax.rem(rv, jnp.int32(128)) + 128
+    xv = jnp.where(li == L, 1 + lax.rem(r_h, jnp.int32(128)) + 128, xv)
+    Vr, taur = _make_v(PR[...], xv, b, lane_r)
+
+    @pl.when(head_ok)
+    def _head_right():
+        _right_apply(
+            P, b, r_h, Vr[L : L + 1, :], taur[L : L + 1, :], b + 8, w
+        )
+        XC[:, L : L + 1] = _left_xcol(P, b, r_h + 1)
+
+    # ---- phase A: pending left + right apply + extraction, one slab ----
+    for l in range(L):
+        i_l, k_l, r_l, act_r, act_p = lane(l)
+
+        @pl.when(act_p)
+        def _a(l=l, r_l=r_l, act_r=act_r):
+            vp, tp = pend_of(l)
+            te = jnp.where(act_r, taur[l : l + 1, :], zero)
+            _pend_right_apply_xcol(
+                P, b, r_l, vp, tp, W0[l : l + 1, :], Vr[l : l + 1, :],
+                te, XC, l,
+            )
+
+    # ---- batched left larfg; store as next tick's pending --------------
+    lc = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    ivc = anchor - lc
+    r1c = ivc + 1 + (T - 3 * ivc - 1) * b + b
+    r1c = jnp.where(lc == L, r_h + 1, r1c)
+    ro1c = r1c - (r1c // 8) * 8
+    Vl, taul = _left_make_v_batched(XC[...], ro1c, b)
+    # Canonicalize under the NEXT tick's lane labels (roll-at-write): at
+    # ticks T+1 with (T+1) % 3 == 1 the frontier anchor increments, so
+    # sweep labels advance by one lane and the HEAD's reflector (slot L)
+    # becomes lane 0's pending (lane 0 is always at hop k == 1 there).
+    # One lane-roll pair + select per tick replaces three narrow column
+    # selects per lane per phase (measured: the select variant cost
+    # +26 ms at n=3840).
+    shift_n = (T + 1) % 3 == 1
+    lcs = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    Vl_s = jnp.where(
+        lcs == 0,
+        pltpu.roll(Vl, 128 - L, axis=1),
+        pltpu.roll(Vl, 1, axis=1),
+    )
+    taul_s = jnp.where(
+        lcs == 0,
+        pltpu.roll(taul, 128 - L, axis=1),
+        pltpu.roll(taul, 1, axis=1),
+    )
+    VLP[pl.ds(0, b + 8), :] = jnp.where(shift_n, Vl_s, Vl)
+    TAUP[0:1, :] = jnp.where(shift_n, taul_s, taul)
+
+
+def _wave_chase_dl_kernel(
+    n, b, Npad, L, A_in, d_out, e_out, P, PR, XC, W0, VLP, TAUP, sem
+):
+    """Deferred-left wavefront chase kernel: same pack and d/e extraction
+    as :func:`_wave_chase_kernel`, tick body :func:`_wave_tick_dl`
+    (one extra tick flushes the last pair's pending left)."""
+    dtype = P.dtype
+    zero = jnp.zeros((), dtype)
+    n128 = -(-n // 128) * 128
+
+    P[...] = jnp.zeros(P.shape, dtype)
+    VLP[...] = jnp.zeros(VLP.shape, dtype)
+    TAUP[...] = jnp.zeros(TAUP.shape, dtype)
+    for br in range(Npad // 128):
+        r0 = 128 * br
+        if r0 >= n128:
+            continue
+        c0 = 128 * br - 128
+        l0 = max(0, -c0)
+        cs = c0 + l0
+        cw = min(D - l0, n128 - cs)
+        if cw <= 0:
+            continue
+        cp = pltpu.make_async_copy(
+            A_in.at[pl.ds(r0, 128), pl.ds(cs, cw)],
+            P.at[pl.ds(r0, 128), pl.ds(l0, cw)],
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+    def tick(T, carry):
+        _wave_tick_dl(P, n, b, L, PR, XC, W0, VLP, TAUP, T)
+        return carry
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(3 * (n - 2) + 3), tick, 0)
+
+    eli = lax.broadcasted_iota(jnp.int32, (128, 256), 1)
+    eri = lax.broadcasted_iota(jnp.int32, (128, 256), 0)
+    for br in range(Npad // 128):
+        if 128 * br >= n:
+            d_out[br : br + 1, :] = jnp.zeros((1, 128), dtype)
+            e_out[br : br + 1, :] = jnp.zeros((1, 128), dtype)
+            continue
+        blk = P[128 * br : 128 * br + 128, 128:384]
+        dsum = jnp.sum(
+            jnp.where(eli == eri, blk, zero), axis=0, keepdims=True
+        )
+        esum = jnp.sum(
+            jnp.where(eli == eri + 1, blk, zero), axis=0, keepdims=True
+        )
+        d_out[br : br + 1, :] = dsum[:, 0:128]
+        e_out[br : br + 1, :] = esum[:, 1:129]
+
+
+def band_to_bidiagonal_pallas_wave_dl(A, band=128):
+    """Deferred-left wavefront chase; returns (d, e) bitwise-identical to
+    :func:`band_to_bidiagonal_pallas_wave` at 2 slab accesses per pair
+    instead of 3.  Callers gate via :func:`wave_chase_supported`."""
+    with jax.enable_x64(False):
+        return _band_to_bidiagonal_pallas_wave_dl(A, band=band)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def _band_to_bidiagonal_pallas_wave_dl(A, band=128):
+    n = A.shape[0]
+    b = int(band)
+    dtype = A.dtype
+    if n < 2:
+        return jnp.abs(jnp.diag(A)), jnp.zeros((0,), dtype)
+    if not wave_chase_supported(n, b):
+        raise ValueError(f"wave chase unsupported for n={n}, band={b}")
+    Npad = -(-(n + 3 * b + 8) // 128) * 128
+    nb = Npad // 128
+    n128 = -(-n // 128) * 128
+    Ld = _n_lanes(n, b) + 1  # hop k reaches nc+1 (pending flush)
+    Lp = -(-(Ld + 1) // LANE_PAD) * LANE_PAD  # +1: head larfg slot
+    if n128 != n:
+        A = jnp.pad(A, ((0, n128 - n), (0, n128 - n)))
+    d2, e2 = pl.pallas_call(
+        functools.partial(_wave_chase_dl_kernel, n, b, Npad, Ld),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 128), dtype),
+            jax.ShapeDtypeStruct((nb, 128), dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Npad, D), dtype),
+            pltpu.VMEM((Lp, WR), dtype),
+            pltpu.VMEM((b + 8, 128), dtype),
+            pltpu.VMEM((Lp, WR), dtype),
+            pltpu.VMEM((b + 8, 128), dtype),
+            pltpu.VMEM((8, 128), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(A)
+    d = d2.reshape(-1)[:n]
+    e = e2.reshape(-1)[: n - 1]
+    return d, e
 
 
 def _wave_chase_kernel(n, b, Npad, L, A_in, d_out, e_out, P, PR, XC, sem):
@@ -688,7 +1019,7 @@ def _wave_chase_rec_kernel(
 def _n_lanes(n, b):
     """Max concurrent hop lanes = ceil(max_sweep_hops / 3)."""
     w = b + 1
-    nc0 = max(0, -(-(n - (2 * w - 1)) // b)) + 1  # == _nc_of(0, n, b)
+    nc0 = _s_max_of(n, b) - 1  # == nc_of(0, n, b)
     return (nc0 + 2) // 3
 
 
@@ -706,8 +1037,7 @@ def wave_chase_supported(n, band):
 
 def _rec_spad(n, b):
     """Record slots per sweep (top + chase), sublane-padded to 8."""
-    w = b + 1
-    s_max = max(0, -(-(n - (2 * w - 1)) // b)) + 2
+    s_max = _s_max_of(n, b)
     return -(-s_max // 8) * 8
 
 
@@ -795,7 +1125,7 @@ def _band_to_bidiagonal_pallas_wave_accum(A, band=128):
     )(A)
     d = d2.reshape(-1)[:n]
     e = e2.reshape(-1)[: n - 1]
-    s_max = max(0, -(-(n - (2 * (b + 1) - 1)) // b)) + 2
+    s_max = _s_max_of(n, b)
     VR = VRr.reshape(n - 1, s_pad, 128)[:, :s_max, :b]
     VL = VLr.reshape(n - 1, s_pad, 128)[:, :s_max, :b]
 

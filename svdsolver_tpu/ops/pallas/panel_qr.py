@@ -105,13 +105,76 @@ def panel_qr_pallas(A_panel_t, r_off, band):
         )
 
 
-def dense_to_band_pallas(A, band=128, segments=4):
+def _auto_segments(n, b):
+    """Trailing-update segment count: more segments the more panels there
+    are (full-width GEMMs cost 3x the true trailing flops; segment
+    shrinking recovers most of it).  Measured at n=3200 (5-rep loops):
+    band=32 fused 27.0 / 23.4 / 21.6 ms at 4 / 8 / 12 segments; band=128
+    (25 panels) stays at 4."""
+    return max(4, min(12, (n // b) // 8))
+
+
+def _fused_panel_pair_step(pdot, b, S, c):
+    """One QR+LQ panel pair with the FUSED two-sided trailing update.
+
+    The reference overlaps panel k+1's factorization with panel k's
+    trailing GEMMs (lookahead, svd_parallel.h:458-460, :482-484).  On TPU
+    XLA ops run sequentially on the one core, so the win is reshaped into
+    cutting big-array HBM passes per pair from ~6 to 4 and merging the two
+    rank-b corrections into one K=2b GEMM:
+
+        W  = V^T S                      (big read 1)
+        C1 = T^T W
+        Sl = S[c:c+b,:] - Vr C1         (the LQ panel's input rows, small)
+        factor LQ panel -> V2, T2
+        Y  = S V2^T                     (big read 2; pre-left-update S,
+                                         corrected: AV = Y - V (C1 V2^T))
+        Z  = (AV) T2^T
+        S -= [V | Z] @ [[C1],[V2]]      (big read 3 + write, K=2b)
+
+    Measured (n=3200, 5-rep loops, scripts/probe_stage1_fused.py):
+    band=32 32.2 -> 26.8 ms at segments=4, 21.6 ms with segments=12;
+    band=64 20.9 -> 18.4; band=128 15.3 -> 14.7.  Sigma error unchanged
+    (7.2e-8 at band=32 vs LAPACK f64).
+    """
+    m = S.shape[0]
+    Pt = lax.dynamic_slice(S, (0, c), (m, b)).T
+    Rt, Vt, Tt = _panel_qr_pallas(Pt, c, b)
+    W = pdot(Vt, S)  # (b, m)
+    C1 = pdot(Tt, W)  # (b, m); Tt = T^T
+    # LQ panel input rows [c, c+b) of the left-updated S; its panel-block
+    # columns [c, c+b) carry the exact R (what the sequential path reads
+    # after the Rt.T write-back).
+    Vr = lax.dynamic_slice(Vt, (0, c), (b, b)).T
+    Sl = lax.dynamic_slice(S, (c, 0), (b, m)) - pdot(Vr, C1)
+    Rblk = lax.dynamic_slice(Rt, (0, c), (b, b)).T
+    Sl = lax.dynamic_update_slice(Sl, Rblk, (0, c))
+    Rt2, Vt2, Tt2 = _panel_qr_pallas(Sl, c + b, b)
+    Y = pdot(S, Vt2.T)  # (m, b); pre-update S
+    D = pdot(C1, Vt2.T)  # (b, b)
+    AV = Y - pdot(Vt.T, D)  # == (S - V C1) V2^T
+    Z = pdot(AV, Tt2.T)  # (m, b)
+    U2 = jnp.concatenate([Vt.T, Z], axis=1)  # (m, 2b)
+    C2 = jnp.concatenate([C1, Vt2], axis=0)  # (2b, m)
+    S = S - pdot(U2, C2)
+    S = lax.dynamic_update_slice(S, Rt.T, (0, c))
+    S = lax.dynamic_update_slice(S, Rt2, (c, 0))
+    return S, (Vt, Tt, Vt2, Tt2)
+
+
+def dense_to_band_pallas(A, band=128, segments=None):
     """Stage I with Pallas panel factorizations + XLA MXU trailing updates.
 
     Same schedule/output class as models/two_stage.dense_to_band; the panel
-    inner loops run on-chip instead of as ~2n XLA loop iterations, and the
-    trailing updates shrink per segment exactly as there.  fp32/TPU.
+    inner loops run on-chip instead of as ~2n XLA loop iterations, the
+    two-sided trailing update is fused (see
+    :func:`_fused_panel_pair_step`), and the updates shrink per segment
+    exactly as there.  ``segments=None`` picks the measured-optimal count
+    per band (:func:`_auto_segments`).  fp32/TPU.
     """
+    n = A.shape[0]
+    if segments is None:
+        segments = _auto_segments(n, int(band))
     with jax.enable_x64(False):
         return _dense_to_band_pallas(A, band=band, segments=segments)
 
@@ -129,21 +192,7 @@ def _dense_to_band_pallas(A, band=128, segments=4):
         raise ValueError(f"n={n} must be divisible by band={b}")
 
     def step(k, S):
-        m = S.shape[0]
-        c = k * b
-        # QR panel on columns [c, c+b)
-        Pt = lax.dynamic_slice(S, (0, c), (m, b)).T
-        Rt, Vt, Tt = _panel_qr_pallas(Pt, c, b)
-        W = pdot(Vt, S)  # (b, m)
-        S = S - pdot(Vt.T, pdot(Tt, W))  # Tt = T^T: A - V T^T V^T A
-        S = lax.dynamic_update_slice(S, Rt.T, (0, c))
-        # LQ panel on rows [c, c+b), pivots at the band offset c+b
-        Sl = lax.dynamic_slice(S, (c, 0), (b, m))
-        Rt2, Vt2, Tt2 = _panel_qr_pallas(Sl, c + b, b)
-        # right update: A <- A (I - V T V^T)  with V = Vt2^T, T^T = Tt2
-        AV = pdot(S, Vt2.T)  # (m, b)
-        S = S - pdot(pdot(AV, Tt2.T), Vt2)
-        S = lax.dynamic_update_slice(S, Rt2, (c, 0))
+        S, _ = _fused_panel_pair_step(pdot, b, S, k * b)
         return S
 
     bounds = segment_bounds(n // b, segments)
@@ -186,18 +235,8 @@ def _dense_to_band_uv_pallas(A, band=128):
 
     def step(k, carry):
         S, U1, V1 = carry
-        c = k * b
-        Pt = lax.dynamic_slice(S, (0, c), (n, b)).T
-        Rt, Vt, Tt = _panel_qr_pallas(Pt, c, b)
-        W = pdot(Vt, S)
-        S = S - pdot(Vt.T, pdot(Tt, W))  # Tt = T^T: A - V T^T (V^T A)
-        S = lax.dynamic_update_slice(S, Rt.T, (0, c))
+        S, (Vt, Tt, Vt2, Tt2) = _fused_panel_pair_step(pdot, b, S, k * b)
         U1 = U1 - pdot(pdot(pdot(U1, Vt.T), Tt.T), Vt)  # U1 (I - V T V^T)
-        Sl = lax.dynamic_slice(S, (c, 0), (b, n))
-        Rt2, Vt2, Tt2 = _panel_qr_pallas(Sl, c + b, b)
-        AV = pdot(S, Vt2.T)
-        S = S - pdot(pdot(AV, Tt2.T), Vt2)
-        S = lax.dynamic_update_slice(S, Rt2, (c, 0))
         V1 = V1 - pdot(pdot(pdot(V1, Vt2.T), Tt2.T), Vt2)
         return S, U1, V1
 
@@ -231,17 +270,7 @@ def _dense_to_band_rec_pallas(A, band=128):
         raise ValueError(f"n={n} must be divisible by band={b}")
 
     def step(S, k):
-        c = k * b
-        Pt = lax.dynamic_slice(S, (0, c), (n, b)).T
-        Rt, Vt, Tt = _panel_qr_pallas(Pt, c, b)
-        W = pdot(Vt, S)
-        S = S - pdot(Vt.T, pdot(Tt, W))  # Tt = T^T: A - V T^T (V^T A)
-        S = lax.dynamic_update_slice(S, Rt.T, (0, c))
-        Sl = lax.dynamic_slice(S, (c, 0), (b, n))
-        Rt2, Vt2, Tt2 = _panel_qr_pallas(Sl, c + b, b)
-        AV = pdot(S, Vt2.T)
-        S = S - pdot(pdot(AV, Tt2.T), Vt2)
-        S = lax.dynamic_update_slice(S, Rt2, (c, 0))
+        S, (Vt, Tt, Vt2, Tt2) = _fused_panel_pair_step(pdot, b, S, k * b)
         return S, (Vt, Tt, Vt2, Tt2)
 
     Ab, (Vq, Tq, Vl, Tl) = lax.scan(step, A, jnp.arange(n // b))

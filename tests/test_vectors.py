@@ -244,6 +244,42 @@ def test_chase_apply_wy_matches_rank1(rng, n, b):
         np.testing.assert_allclose(got, want, atol=1e-12 * np.abs(want).max())
 
 
+@pytest.mark.parametrize("n,b", [(48, 8), (96, 16), (72, 8)])
+def test_chase_apply_wy_carry_matches_wy(rng, n, b):
+    # the production back-transform (_apply_chase_reflectors_wy_carry:
+    # overlap-carry + per-group slot trim) must realize the same operator
+    # as the plain grouped WY walk on REAL recorder output — including
+    # slot-padded records (s_pad > s_used, as the Pallas recorders emit:
+    # extra all-zero tau slots must be exact no-ops, and the slot trim
+    # must not skip any live slot of the shared schedule) (ADVICE r4 #1).
+    from svdsolver_tpu.models.two_stage import (
+        dense_to_band,
+        band_to_bidiagonal_accum,
+    )
+    from svdsolver_tpu.models.vectors import (
+        _apply_chase_reflectors_wy,
+        _apply_chase_reflectors_wy_carry,
+    )
+
+    A = jnp.asarray(rng.normal(size=(n, n)))
+    Ab = dense_to_band(A, band=b)
+    _, _, VL, TL, VR, TR = band_to_bidiagonal_accum(Ab, band=b)
+    M = jnp.asarray(rng.normal(size=(n, n)))
+    for V, T in ((VL, TL), (VR, TR)):
+        want = np.asarray(_apply_chase_reflectors_wy(V, T, M, b))
+        got = np.asarray(_apply_chase_reflectors_wy_carry(V, T, M, b))
+        np.testing.assert_allclose(got, want, atol=1e-12 * np.abs(want).max())
+        # slot-padded records (Pallas recorders pad s_max to a multiple
+        # of 8): identical result, no live slot skipped by the trim
+        s_pad = -(-V.shape[1] // 8) * 8 + 8
+        Vp = jnp.pad(V, ((0, 0), (0, s_pad - V.shape[1]), (0, 0)))
+        Tp = jnp.pad(T, ((0, 0), (0, s_pad - T.shape[1])))
+        got_p = np.asarray(_apply_chase_reflectors_wy_carry(Vp, Tp, M, b))
+        np.testing.assert_allclose(
+            got_p, want, atol=1e-12 * np.abs(want).max()
+        )
+
+
 @pytest.mark.parametrize("n,k", [(96, 8), (128, 1)])
 def test_svds_topk(rng, n, k):
     from svdsolver_tpu.models.vectors import svds
