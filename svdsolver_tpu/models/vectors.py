@@ -128,7 +128,120 @@ def bidiagonalize_blocked_uv(A, panel=32):
     return d, e[: n - 1], Uacc, Vacc
 
 
+def _cluster_bounds(sig, ctol):
+    """Per-column cluster id + inclusive [start, end] column bounds of the
+    contiguous close-sigma clusters (sig sorted)."""
+    n = sig.shape[0]
+    smax = jnp.max(jnp.abs(sig))
+    linked = jnp.abs(sig[1:] - sig[:-1]) <= ctol * smax  # (n-1,)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), ~linked])
+    rid = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    idx = jnp.arange(n)
+    start = lax.cummax(jnp.where(is_start, idx, 0))
+    is_end = jnp.concatenate([~linked, jnp.ones((1,), bool)])
+    end = lax.cummin(jnp.where(is_end, idx, n - 1), reverse=True)
+    return rid, start, end
+
+
 def _cluster_orthogonalize(x, sig, ctol, passes=2):
+    """Cluster-blocked CholeskyQR, tiled: orthonormalize within clusters of
+    close singular values in TGK space.
+
+    The dense formulation (:func:`_cluster_orthogonalize_dense`) pays a
+    full (n, n) Gram + DENSE cholesky + DENSE triangular solve per pass —
+    ~27 ms per call at n=3840, the dominant cost of ``tgk_vectors`` —
+    while the masked Gram is block-diagonal with NARROW blocks (close-
+    sigma clusters).  Here the columns are tiled at width 128 under TWO
+    covers (offsets 0 and 64): any cluster of width <= 64 lies wholly
+    inside some tile of at least one cover (a span of < 64 columns cannot
+    contain both a multiple of 128 and one of 128m - 64), so each pass is
+    a BATCHED (ntiles, 128, 128) masked Gram + cholesky + triangular
+    solve — MXU-shaped small-batch ops in place of sequential dense
+    factorizations.  The two covers correct DISJOINT column sets, so both
+    corrections derive from the same input x and commute.  Clusters wider
+    than 64 columns fall back to the dense path (lax.cond — compiled
+    once, executed only when such a cluster exists)."""
+    n = x.shape[1]
+    dtype = x.dtype
+    rid, start, end = _cluster_bounds(sig, ctol)
+    in_cluster = start != end
+    wide = jnp.any(jnp.logical_and(in_cluster, end - start > 64))
+
+    TW = 128
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    shift = jnp.asarray(4 * n, dtype) * jnp.asarray(
+        jnp.finfo(dtype).eps, dtype
+    )
+
+    def tiled(x):
+        nrm = jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=0), tiny))
+        x = x / nrm[None, :]
+        full_A = start // TW == end // TW
+        full_B = (start + 64) // TW == (end + 64) // TW
+        corr = {
+            0: jnp.logical_and(in_cluster, full_A),
+            64: jnp.logical_and(
+                in_cluster, jnp.logical_and(full_B, ~full_A)
+            ),
+        }
+
+        def cover(x, off):
+            npad = -(-(n + off) // TW) * TW
+            nt = npad // TW
+            xp = jnp.pad(x, ((0, 0), (off, npad - n - off)))
+            # padded columns get unique negative cluster ids -> singletons
+            rid_p = jnp.pad(rid + 1, (off, npad - n - off))  # pads are 0
+            pidx = jnp.arange(npad)
+            rid_p = jnp.where(
+                jnp.logical_or(pidx < off, pidx >= off + n),
+                -(pidx + 1),
+                rid_p,
+            )
+            ok_p = jnp.pad(corr[off], (off, npad - n - off))
+            rid_t = rid_p.reshape(nt, TW)
+            ok_t = ok_p.reshape(nt, TW)
+            x3 = xp.reshape(x.shape[0], nt, TW)
+            mask = rid_t[:, :, None] == rid_t[:, None, :]
+            mask = jnp.logical_and(
+                mask, jnp.logical_and(ok_t[:, :, None], ok_t[:, None, :])
+            )
+            eye = jnp.eye(TW, dtype=dtype)[None]
+            y3 = x3
+            for p in range(int(passes)):
+                s_p = shift if p == 0 else jnp.zeros((), dtype)
+                G = jnp.einsum(
+                    "kti,ktj->tij",
+                    y3,
+                    y3,
+                    precision=lax.Precision.HIGHEST,
+                )
+                Gc = jnp.where(mask, G, jnp.zeros((), dtype)) + (
+                    (1 + s_p) * eye - jnp.where(mask, eye, 0.0)
+                )
+                L = jnp.linalg.cholesky(Gc)
+                yt = jax.scipy.linalg.solve_triangular(
+                    L, jnp.swapaxes(y3, 0, 1).swapaxes(1, 2), lower=True
+                )  # (nt, TW, N)
+                ynew = jnp.swapaxes(yt, 1, 2).swapaxes(0, 1)
+                bad = ~jnp.isfinite(jnp.sum(ynew * ynew, axis=0))
+                y3 = jnp.where(bad[None], y3, ynew)
+            yp = y3.reshape(x.shape[0], npad)[:, off : off + n]
+            return jnp.where(corr[off][None, :], yp, x)
+
+        x = cover(x, 0)
+        x = cover(x, 64)
+        nrm = jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=0), tiny))
+        return x / nrm[None, :]
+
+    return lax.cond(
+        wide,
+        lambda x: _cluster_orthogonalize_dense(x, sig, ctol, passes),
+        tiled,
+        x,
+    )
+
+
+def _cluster_orthogonalize_dense(x, sig, ctol, passes=2):
     """Orthonormalize within clusters of close singular values, in TGK space,
     by cluster-blocked CholeskyQR — width-unlimited and MXU-shaped.
 
@@ -368,11 +481,19 @@ def tgk_vectors(d, e, sig, iters=None, polish=None):
         # near-zero-sigma clusters: u = Bv/sigma is ill-conditioned and the
         # +/-sigma TGK twins degenerate, leaving inverse-iteration u-parts
         # parallel.  There the u/v coupling is vacuous (B^T u = sigma v ~ 0),
-        # so orthogonalize the u-parts directly within the cluster.
-        Un = _cluster_orthogonalize(u, sig, ctol)
-        Un = Un / jnp.maximum(
-            jnp.linalg.norm(Un, axis=0, keepdims=True), tiny
-        )
+        # so orthogonalize the u-parts directly within the cluster — but
+        # LAZILY: on generic spectra no cluster is near-zero, and the u-side
+        # CholeskyQR2 (dense Gram + chol + triangular solve) was measured as
+        # ~1/3 of tgk_vectors at n=3840 while its result was discarded.
+        need_un = jnp.any(jnp.logical_and(in_cluster, ~usable))
+
+        def _un(u):
+            Un = _cluster_orthogonalize(u, sig, ctol)
+            return Un / jnp.maximum(
+                jnp.linalg.norm(Un, axis=0, keepdims=True), tiny
+            )
+
+        Un = lax.cond(need_un, _un, lambda u: u, u)
         v = jnp.where(in_cluster[None, :], Vc, v)
         u = jnp.where(
             usable[None, :], Uc, jnp.where(in_cluster[None, :], Un, u)

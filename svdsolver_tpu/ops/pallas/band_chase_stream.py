@@ -151,7 +151,7 @@ def _stream_chase_kernel(
     if rec:
         (
             A_in, d_out, e_out, VRr, VLr,
-            P, BUF, stage, PR, XC, RECR, RECL,
+            P, BUF, stage, PR, XC, REC,
             sem_pack, sem_in, sem_out, sem_rec,
         ) = refs
     else:
@@ -169,15 +169,13 @@ def _stream_chase_kernel(
     if rec:
 
         def flush_a(i_s, buf):
-            _rec_flush(
-                RECR, RECL, VRr, VLr, sem_rec, s_pad, s_pad, 0, i_s, buf
-            )
+            _rec_flush(REC, VRr, VLr, sem_rec, s_pad, s_pad, 0, i_s, buf)
 
         def flush_b(i_s, buf):
             # phase-B sweep indices are tail-local; records land at the
             # global output slot (R0 + i_s) * s_pad, s_blk_B rows each
             _rec_flush(
-                RECR, RECL, VRr, VLr, sem_rec, s_blk_B, s_pad, R0, i_s, buf
+                REC, VRr, VLr, sem_rec, s_blk_B, s_pad, R0, i_s, buf
             )
 
     # ---- pack: assemble each 128-row block in VMEM, DMA to HBM ----------
@@ -391,7 +389,7 @@ def _stream_chase_kernel(
                 if rec:
                     _wave_tick_rec(
                         BUF, n, b, Lg, PR, XC, 3 * i0 + t,
-                        RECR, RECL, NB_A, s_pad, flush_a,
+                        REC, NB_A, s_pad, flush_a,
                         i_lo=i0, i_hi=i_hi, row_off=row_off,
                     )
                 else:
@@ -450,7 +448,7 @@ def _stream_chase_kernel(
             if rec:
                 _wave_tick_rec(
                     BUF, n_local, b, Ltail, PR, XC, T,
-                    RECR, RECL, NB_B, s_blk_B, flush_b,
+                    REC, NB_B, s_blk_B, flush_b,
                 )
             else:
                 _wave_tick(BUF, n_local, b, Ltail, PR, XC, T)
@@ -632,7 +630,7 @@ def stream_chase_accum_supported(n, band):
         return False
     vmem = (
         2 * W_REC * DS + 128 * DS + Lp * DS + (b + 8) * 128
-        + 2 * rec_rows * DS
+        + rec_rows * (DS + 256)
     ) * 4
     return vmem <= 15 * 1024 * 1024
 
@@ -708,8 +706,7 @@ def _band_to_bidiagonal_pallas_stream_accum(A, band=128):
             pltpu.VMEM((128, DS), dtype),
             pltpu.VMEM((Lp, DS), dtype),
             pltpu.VMEM((b + 8, 128), dtype),
-            pltpu.VMEM((rec_rows, DS), dtype),
-            pltpu.VMEM((rec_rows, DS), dtype),
+            pltpu.VMEM((rec_rows, DS + 256), dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),

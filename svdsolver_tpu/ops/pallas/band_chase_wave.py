@@ -756,9 +756,12 @@ def _left_make_v(xcol, ro1, b):
     return v, tau
 
 
-def _rec_flush(RECR, RECL, VRr, VLr, sem_rec, s_blk, s_out, i_off, i_s, buf):
+def _rec_flush(REC, VRr, VLr, sem_rec, s_blk, s_out, i_off, i_s, buf):
     """Canonicalize + flush sweep ``i_s``'s records (called at its last hop).
 
+    ``REC`` is the MERGED record buffer: lanes [0, WR) hold the right
+    records, lanes [WR, WR+256) the left ones (one row store per pair —
+    see :func:`_wave_tick_rec`).
     Right records live in packed zone-0 lane coords: hop slot support starts
     at lane 256 + co (x = b + r%128 + 128, b == 128), the head slot 128
     lower (x = 1 + i%128 + 128) — one whole-block roll plus a static row-0
@@ -772,21 +775,23 @@ def _rec_flush(RECR, RECL, VRr, VLr, sem_rec, s_blk, s_out, i_off, i_s, buf):
     co = lax.rem(i_s + i_off + 1, jnp.int32(128))
     coh = lax.rem(i_s + i_off, jnp.int32(128))  # head support: lane 129+coh
     ro = lax.rem(i_s + i_off + 1, jnp.int32(8))
-    blkR = RECR[pl.ds(buf * s_blk, s_blk), :]
+    blkR = REC[pl.ds(buf * s_blk, s_blk), pl.ds(0, WR)]
     rolled = pltpu.roll(blkR, -(co + 256), axis=1)
-    RECR[pl.ds(buf * s_blk, s_blk), :] = rolled
+    REC[pl.ds(buf * s_blk, s_blk), pl.ds(0, WR)] = rolled
     top = pltpu.roll(blkR[0:1, :], -(coh + 129), axis=1)
-    RECR[pl.ds(buf * s_blk, 1), :] = top
-    blkL = RECL[pl.ds(buf * s_blk, s_blk), :]
-    RECL[pl.ds(buf * s_blk, s_blk), :] = pltpu.roll(blkL, -ro, axis=1)
+    REC[pl.ds(buf * s_blk, 1), pl.ds(0, WR)] = top
+    blkL = REC[pl.ds(buf * s_blk, s_blk), pl.ds(WR, 256)]
+    REC[pl.ds(buf * s_blk, s_blk), pl.ds(WR, 256)] = pltpu.roll(
+        blkL, -ro, axis=1
+    )
     cps = [
         pltpu.make_async_copy(
-            RECR.at[pl.ds(buf * s_blk, s_blk), pl.ds(0, 128)],
+            REC.at[pl.ds(buf * s_blk, s_blk), pl.ds(0, 128)],
             VRr.at[pl.ds((i_s + i_off) * s_out, s_blk)],
             sem_rec.at[0],
         ),
         pltpu.make_async_copy(
-            RECL.at[pl.ds(buf * s_blk, s_blk), pl.ds(0, 128)],
+            REC.at[pl.ds(buf * s_blk, s_blk), pl.ds(WR, 128)],
             VLr.at[pl.ds((i_s + i_off) * s_out, s_blk)],
             sem_rec.at[1],
         ),
@@ -798,14 +803,17 @@ def _rec_flush(RECR, RECL, VRr, VLr, sem_rec, s_blk, s_out, i_off, i_s, buf):
 
 
 def _wave_tick_rec(
-    P, n, b, L, PR, XC, T, RECR, RECL, NB, s_blk, flush,
+    P, n, b, L, PR, XC, T, REC, NB, s_blk, flush,
     i_lo=None, i_hi=None, row_off=None,
 ):
     """Recording variant of :func:`_wave_tick` (``b == 128`` only — the
     record-roll canonicalization in :func:`_rec_flush` needs sweep-invariant
     lane offsets): the same wavefront tick, additionally capturing every
-    reflector into rotating per-sweep VMEM record blocks (``RECR``/``RECL``,
-    ``NB`` blocks x ``s_blk`` rows; a sweep's block is zeroed at its head
+    reflector into rotating per-sweep VMEM record blocks (``REC``, merged:
+    right record in lanes [0, WR), left in [WR, WR+256) — ONE dynamic row
+    store per pair instead of two, which halves the recording tick's
+    dominant overhead; ``NB`` blocks x ``s_blk`` rows; a sweep's block is
+    zeroed at its head
     and handed to ``flush(i_s, buf)`` at its last hop — NB must exceed the
     max sweeps in flight so a block is never reused before its flush).
 
@@ -837,8 +845,9 @@ def _wave_tick_rec(
     def _head():
         i = T // 3
         bufh = lax.rem(i, jnp.int32(NB))
-        RECR[pl.ds(bufh * s_blk, s_blk), :] = jnp.zeros((s_blk, WR), dtype)
-        RECL[pl.ds(bufh * s_blk, s_blk), :] = jnp.zeros((s_blk, WR), dtype)
+        REC[pl.ds(bufh * s_blk, s_blk), :] = jnp.zeros(
+            (s_blk, WR + 256), dtype
+        )
         r8 = ((i - off) // 8) * 8
         ro = (i - off) - r8
         rows8 = P[pl.ds(r8, 8), :WR]
@@ -848,7 +857,6 @@ def _wave_tick_rec(
         xh = 1 + lax.rem(i, jnp.int32(128)) + 128
         vh, tauh = _make_v(prow, xh, b, lane_r)
         _right_apply(P, b, i - off, vh, tauh, b + 8, w)
-        RECR[pl.ds(bufh * s_blk, 1), :] = jnp.where(tauh == 0, zero, vh)
         xcol = _left_xcol(P, b, i + 1 - off)
         ro1 = (i + 1 - off) - ((i + 1 - off) // 8) * 8
         vl, taul_h = _left_make_v(xcol, ro1, b)
@@ -857,7 +865,9 @@ def _wave_tick_rec(
             jnp.where(cj_t == lj_t, vl, zero), axis=0, keepdims=True
         )  # (1, 256): entry j = vl[j]
         vl_row = jnp.where(taul_h == 0, zero, vl_row)
-        RECL[pl.ds(bufh * s_blk, 1), pl.ds(0, 256)] = vl_row
+        REC[pl.ds(bufh * s_blk, 1), :] = jnp.concatenate(
+            [jnp.where(tauh == 0, zero, vh), vl_row], axis=1
+        )
 
     # ---- hop lanes (lane mapping as in _wave_tick) -----------------------
     i_base = (T + 2) // 3 - 1
@@ -903,12 +913,10 @@ def _wave_tick_rec(
         i_l, k_l, r_l, act = lane(l)
 
         @pl.when(act)
-        def _right(i_l=i_l, k_l=k_l, r_l=r_l, l=l):
+        def _right(r_l=r_l, l=l):
             XC[:, l : l + 1] = _right_apply_xcol(
                 P, b, r_l, Vr[l : l + 1, :], taur[l : l + 1, :]
             )
-            row = lax.rem(i_l, jnp.int32(NB)) * s_blk + k_l
-            RECR[pl.ds(row, 1), :] = Vrm[l : l + 1, :]
 
     lc = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     ivc = lane_anchor - lc
@@ -933,7 +941,9 @@ def _wave_tick_rec(
                 P, b, r_l + b, Vl[:, l : l + 1], taul[:, l : l + 1]
             )
             row = lax.rem(i_l, jnp.int32(NB)) * s_blk + k_l
-            RECL[pl.ds(row, 1), pl.ds(0, 256)] = VlT[l : l + 1, :]
+            REC[pl.ds(row, 1), :] = jnp.concatenate(
+                [Vrm[l : l + 1, :], VlT[l : l + 1, :]], axis=1
+            )
 
         @pl.when(jnp.logical_and(act, k_l == _nc_of(i_l, n, b)))
         def _flush(i_l=i_l, l=l):
@@ -944,15 +954,17 @@ def _wave_chase_rec_kernel(
     n, b, Npad, L, NB, s_pad,
     A_in,
     d_out, e_out, VRr, VLr,
-    P, PR, XC, RECR, RECL, sem, sem_rec,
+    P, PR, XC, REC, sem, sem_rec,
 ):
     """Recording variant of :func:`_wave_chase_kernel` (``b == 128``):
     the same wavefront-batched chase, additionally capturing every
     reflector for singular-vector back-transformation.
 
-    Records accumulate in per-sweep VMEM blocks (``RECR``/``RECL``,
-    ``NB`` rotating (s_pad, 512) blocks — NB > max sweeps in flight), one
-    dynamic row store per elimination, and flush to HBM once per sweep at
+    Records accumulate in per-sweep VMEM blocks (``REC``, ``NB`` rotating
+    (s_pad, 768) MERGED blocks — right record lanes [0, 512), left
+    [512, 768); NB > max sweeps in flight), ONE dynamic row store per
+    PAIR (the old two stores per pair were the recording tick's dominant
+    overhead), and flush to HBM once per sweep at
     its last hop: one ``pltpu.roll`` canonicalizes the whole sweep's
     records (b == 128 makes the lane offset sweep-invariant — the same
     trick as band_chase._chase_kernel_rec), then one DMA per side.  Left
@@ -989,10 +1001,10 @@ def _wave_chase_rec_kernel(
         cp.wait()
 
     def flush(i_s, buf):
-        _rec_flush(RECR, RECL, VRr, VLr, sem_rec, s_pad, s_pad, 0, i_s, buf)
+        _rec_flush(REC, VRr, VLr, sem_rec, s_pad, s_pad, 0, i_s, buf)
 
     def tick(T, carry):
-        _wave_tick_rec(P, n, b, L, PR, XC, T, RECR, RECL, NB, s_pad, flush)
+        _wave_tick_rec(P, n, b, L, PR, XC, T, REC, NB, s_pad, flush)
         return carry
 
     lax.fori_loop(jnp.int32(0), jnp.int32(3 * (n - 2) + 2), tick, 0)
@@ -1051,7 +1063,7 @@ def wave_chase_accum_supported(n, band):
         return False
     Npad = -(-(n + 3 * b + 8) // 128) * 128
     NB = _n_lanes(n, b) + 2
-    rec_bytes = 2 * NB * _rec_spad(n, b) * WR * 4
+    rec_bytes = NB * _rec_spad(n, b) * (WR + 256) * 4
     return Npad * D * 4 + rec_bytes <= 14 * 1024 * 1024
 
 
@@ -1116,8 +1128,7 @@ def _band_to_bidiagonal_pallas_wave_accum(A, band=128):
             pltpu.VMEM((Npad, D), dtype),
             pltpu.VMEM((Lp, WR), dtype),
             pltpu.VMEM((b + 8, 128), dtype),
-            pltpu.VMEM((NB * s_pad, WR), dtype),
-            pltpu.VMEM((NB * s_pad, WR), dtype),
+            pltpu.VMEM((NB * s_pad, WR + 256), dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
         ],
