@@ -123,12 +123,34 @@ def cmd_bench(args):
                     from svdsolver_tpu.ops.pallas.band_chase import (
                         band_to_bidiagonal_pallas,
                     )
+                    from svdsolver_tpu.ops.pallas.band_chase_stream import (
+                        band_to_bidiagonal_pallas_stream,
+                        stream_chase_preferred,
+                    )
+                    from svdsolver_tpu.ops.pallas.band_chase_wave import (
+                        band_to_bidiagonal_pallas_wave,
+                        wave_chase_preferred,
+                    )
                     from svdsolver_tpu.ops.pallas.panel_qr import (
                         dense_to_band_pallas,
                     )
 
                     stage1 = dense_to_band_pallas
-                    stage2 = band_to_bidiagonal_pallas
+                    # mirror models/svd.py's Stage-II routing (wave within
+                    # VMEM residency past the stride cliff, streamed beyond,
+                    # HBM windows below) so the CSV reflects the pipeline
+                    np_ = n + pad
+
+                    def stage2(A, band, _n=np_):
+                        if wave_chase_preferred(_n, band):
+                            return band_to_bidiagonal_pallas_wave(
+                                A, band=band
+                            )
+                        if stream_chase_preferred(_n, band):
+                            return band_to_bidiagonal_pallas_stream(
+                                A, band=band
+                            )
+                        return band_to_bidiagonal_pallas(A, band=band)
                 t1 = benchmark(lambda A: stage1(A, band=args.block), data)
                 banded = [stage1(A, band=args.block) for A in data]
                 t2 = benchmark(lambda A: stage2(A, band=args.block), banded)

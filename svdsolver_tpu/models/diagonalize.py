@@ -103,7 +103,19 @@ def convergence_threshold(d, e, tol_factor=100.0):
         jnp.minimum(jnp.min(mus), ad[0]), jnp.minimum(jnp.min(lams), ad[-1])
     )
     tol = jnp.asarray(tol_factor, dtype) * eps
-    return jnp.maximum(tol * lbound, tiny)
+    # Absolute floor: sigma_min of a random bidiagonal is EXPONENTIALLY
+    # small in n, so tol*lbound underflows past any value the fp32/f64
+    # sweeps can resolve (measured 1.7e-20 at n=1280 fp32) and deflation
+    # then relies on literal underflow — the bottom block can stall for
+    # thousands of sweeps.  The sweeps' own roundoff bounds attainable
+    # accuracy at ~eps*||B||, so deflating at half that loses nothing
+    # real (Weyl: total perturbation <= ||sum of zeroed entries||_2
+    # ~ sqrt(n)*eps*||B||); the reference's Criteria carries an absolute
+    # floor too (the max_iter*umin term, svd_serial.h:164 — with its XOR
+    # bug it lands near 1e-4).
+    smax_b = jnp.max(ad) + jnp.max(jnp.concatenate([ae, ae[:1] * 0]))
+    floor = 0.5 * eps * smax_b
+    return jnp.maximum(jnp.maximum(tol * lbound, floor), tiny)
 
 
 def _sigma_min_2x2(f, g, h):
@@ -171,24 +183,12 @@ def shifted_sweep(d, e, lo, hi, shift):
 
 
 @functools.partial(jax.jit, static_argnames=("max_sweeps",))
-def bidiagonal_svdvals(d, e, max_sweeps=None):
-    """Singular values of the bidiagonal matrix {d, e}, sorted descending.
-
-    Convergent QR diagonalization with deflation — the reference's ``qrd``
-    (svd_serial.h:367-422) as a ``lax.while_loop``:
-
-    * negligible ``|e[i]| <= threshold`` entries are hard-zeroed (deflation);
-    * the bottom-most unreduced block ``[lo, hi]`` is located with vectorized
-      index arithmetic instead of the reference's scan-and-slice;
-    * one zero-shift sweep runs on that block per iteration.
-    """
+def _qr_diag_chunk(d, e, thresh, max_sweeps):
+    """Up to ``max_sweeps`` QR deflation sweeps on {d, e} (threshold fixed
+    by the caller); returns ``(d, e, converged)``.  The resumable inner
+    step of :func:`bidiagonal_svdvals`'s chunked driver."""
     n = d.shape[0]
     dtype = d.dtype
-    if n == 1:
-        return jnp.abs(d)
-    if max_sweeps is None:
-        max_sweeps = 30 * n
-    thresh = convergence_threshold(d, e)
     idx = jnp.arange(n - 1, dtype=jnp.int32)
 
     def cond(carry):
@@ -222,6 +222,57 @@ def bidiagonal_svdvals(d, e, max_sweeps=None):
         return d, e, it + 1
 
     d, e, _ = lax.while_loop(cond, body, (d, e, jnp.int32(0)))
+    converged = jnp.logical_not(jnp.any(jnp.abs(e) > thresh))
+    return d, e, converged
+
+
+@jax.jit
+def _qr_diag_thresh(d, e):
+    return convergence_threshold(d, e)
+
+
+def bidiagonal_svdvals(d, e, max_sweeps=None, chunk_sweeps=None):
+    """Singular values of the bidiagonal matrix {d, e}, sorted descending.
+
+    Convergent QR diagonalization with deflation — the reference's ``qrd``
+    (svd_serial.h:367-422) as a ``lax.while_loop``:
+
+    * negligible ``|e[i]| <= threshold`` entries are hard-zeroed (deflation);
+    * the bottom-most unreduced block ``[lo, hi]`` is located with vectorized
+      index arithmetic instead of the reference's scan-and-slice;
+    * one zero-shift sweep runs on that block per iteration.
+
+    The sweeps run in host-driven CHUNKS of ``chunk_sweeps`` (auto-sized:
+    ~15 s of device time per chunk): this algorithm is O(n) sweeps of O(n)
+    sequential Givens — the honest O(n^2) curve the reference's
+    ``diagonal`` benchmark records — and a single device program running
+    for minutes trips the platform's worker watchdog (observed as
+    "TPU worker process crashed" at n >= 1280).  Under a jit trace the
+    host loop degenerates to one full-length chunk (previous behavior).
+    """
+    n = d.shape[0]
+    if n == 1:
+        return jnp.abs(d)
+    if max_sweeps is None:
+        max_sweeps = 30 * n
+    import jax.core as _core
+
+    tracing = isinstance(d, _core.Tracer) or isinstance(e, _core.Tracer)
+    if chunk_sweeps is None:
+        # keep every compiled program far under the ~45 s worker watchdog
+        # at any n (a sweep costs ~1.6e-5 * n s)
+        chunk_sweeps = max(128, min(1024, int(1.2e6) // max(n, 1)))
+    thresh = _qr_diag_thresh(d, e)
+    if tracing or chunk_sweeps >= max_sweeps:
+        d, e, _ = _qr_diag_chunk(d, e, thresh, max_sweeps=int(max_sweeps))
+        return jnp.sort(jnp.abs(d))[::-1]
+    done = 0
+    while done < max_sweeps:
+        k = min(int(chunk_sweeps), int(max_sweeps) - done)
+        d, e, converged = _qr_diag_chunk(d, e, thresh, max_sweeps=k)
+        done += k
+        if bool(converged):
+            break
     return jnp.sort(jnp.abs(d))[::-1]
 
 

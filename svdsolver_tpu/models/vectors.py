@@ -379,8 +379,10 @@ def tgk_vectors(d, e, sig, iters=None, polish=None):
     max(64, 2n)*eps*sig_max — including exactly-multiple values) are
     re-coupled every iteration: v-parts orthogonalized within the cluster and
     u rebuilt as B v / sigma (see ``couple_clusters`` for why that beats
-    x-space orthogonalization); clusters wider than 8 are orthogonalized
-    only against their nearest 7 members (documented limitation).
+    x-space orthogonalization).  Cluster orthogonalization is the tiled
+    double-cover CholeskyQR (:func:`_cluster_orthogonalize`): batched
+    (128, 128) blocks for clusters up to 64 columns wide, with a dense
+    CholeskyQR fallback (lax.cond) for wider ones.
 
     ``sig`` may be any contiguous SUBSET of the spectrum (sorted descending)
     — e.g. the top-k values for a partial SVD: the lane count everywhere is
