@@ -247,3 +247,38 @@ def test_dqds_interior_split(rng):
     want = np.linalg.svd(B, compute_uv=False)
     rel = np.max(np.abs(got - want) / np.maximum(want, 1e-300))
     assert rel < 1e-10, rel
+
+
+def test_qr_chunked_matches_single_shot(rng):
+    # chunked host-driven deflation (watchdog guard) must agree with one
+    # full-length compiled loop on the same input
+    from svdsolver_tpu.models.diagonalize import bidiagonal_svdvals
+
+    n = 96
+    d = jnp.asarray(rng.uniform(0, 5, n).astype(np.float32))
+    e = jnp.asarray(rng.uniform(0, 5, n - 1).astype(np.float32))
+    whole = np.asarray(bidiagonal_svdvals(d, e, chunk_sweeps=30 * n))
+    chunked = np.asarray(bidiagonal_svdvals(d, e, chunk_sweeps=16))
+    B = np.diag(np.asarray(d, np.float64)) + np.diag(np.asarray(e, np.float64), 1)
+    want = np.linalg.svd(B, compute_uv=False)
+    assert np.max(np.abs(whole - want)) / want[0] < 1e-5
+    assert np.max(np.abs(chunked - want)) / want[0] < 1e-5
+
+
+def test_qr_threshold_floor_converges_fast(rng):
+    # regression: DK's tol*lbound underflows on random bidiagonals
+    # (sigma_min exponentially small in n); without the absolute
+    # eps*||B|| floor nothing deflates and the solver runs to its 30n cap
+    from svdsolver_tpu.models.diagonalize import (
+        _qr_diag_chunk,
+        _qr_diag_thresh,
+    )
+
+    n = 192
+    d = jnp.asarray(rng.uniform(0, 5, n).astype(np.float32))
+    e = jnp.asarray(rng.uniform(0, 5, n - 1).astype(np.float32))
+    thresh = _qr_diag_thresh(d, e)
+    assert float(thresh) > 1e-9  # floored near eps*||B||, not underflowed
+    d1, e1, _ = _qr_diag_chunk(d, e, thresh, max_sweeps=4 * n)
+    live = int(np.sum(np.abs(np.asarray(e1)) > float(thresh)))
+    assert live < n // 2  # deflation is actually progressing

@@ -350,3 +350,44 @@ def test_svd_batch(rng):
         )
         rec = np.asarray(U[i]) @ np.diag(np.asarray(s[i])) @ np.asarray(Vh[i])
         np.testing.assert_allclose(rec, An, atol=3e-5 * want[0])
+
+
+@pytest.mark.parametrize("kind", ["narrow", "wide"])
+def test_cluster_orthogonalize_tiled_matches_dense(rng, kind):
+    # the tiled double-cover CholeskyQR must realize the dense masked
+    # CholeskyQR's operator on narrow clusters, and route wide (> 64
+    # column) clusters to the dense fallback.  Regression for the
+    # cluster-id cumsum bug (0.079 off-diagonal on repeated sigma).
+    from svdsolver_tpu.models.vectors import (
+        _cluster_orthogonalize,
+        _cluster_orthogonalize_dense,
+    )
+
+    n = 160
+    if kind == "narrow":
+        sig = np.sort(
+            np.concatenate(
+                [np.full(5, 3.0), np.full(4, 1.0), rng.uniform(0.1, 2.5, n - 9)]
+            )
+        )[::-1].copy()
+    else:  # one cluster wider than the 64-column tiled cover
+        sig = np.sort(
+            np.concatenate(
+                [3.0 + rng.normal(size=80) * 1e-14, rng.uniform(0.1, 2.5, n - 80)]
+            )
+        )[::-1].copy()
+    x = rng.normal(size=(2 * n, n))
+    ctol = jnp.asarray(64 * np.finfo(np.float64).eps)
+    a = np.asarray(
+        _cluster_orthogonalize_dense(jnp.asarray(x), jnp.asarray(sig), ctol)
+    )
+    b = np.asarray(
+        _cluster_orthogonalize(jnp.asarray(x), jnp.asarray(sig), ctol)
+    )
+    np.testing.assert_allclose(b, a, atol=1e-10)
+    # intra-cluster orthogonality achieved
+    G = b.T @ b
+    smax = np.abs(sig).max()
+    linked = np.abs(sig[1:] - sig[:-1]) <= 64 * np.finfo(np.float64).eps * smax
+    for i in np.where(linked)[0][:20]:
+        assert abs(G[i, i + 1]) < 1e-10
