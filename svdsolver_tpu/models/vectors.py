@@ -500,7 +500,10 @@ def tgk_vectors(d, e, sig, iters=None, polish=None):
         u = jnp.where(
             usable[None, :], Uc, jnp.where(in_cluster[None, :], Un, u)
         )
-        x = x.at[0::2].set(v).at[1::2].set(u)
+        # interleave back (row 2i = v[i], 2i+1 = u[i]) via stack+reshape:
+        # the strided x.at[0::2].set scatter fused into a >16 MB scoped-vmem
+        # allocation at n >= ~6656 and failed to compile
+        x = jnp.stack([v, u], axis=1).reshape(x.shape)
         return x / jnp.maximum(
             jnp.linalg.norm(x, axis=0, keepdims=True), tiny
         )

@@ -459,11 +459,17 @@ def _wave_tick_dl(P, n, b, L, PR, XC, W0, VLP, TAUP, T):
     batched left larfg's reflector columns, ``TAUP`` ((8, 128), row 0)
     their taus, ``W0`` ((Lp, WR)) per-lane w0 rows (intra-tick, phase G
     -> phase A).  Lane labels advance at ticks T % 3 == 1 (the frontier
-    anchor increments), so a lane's pending was written under label l-1
-    there — and a lane at hop k == 1 (only lane 0 at such ticks) takes
-    the HEAD's pending from slot L instead.  ``L`` must be
-    ``_n_lanes(n, b) + 1``: hop k runs through nc+1 (the flush of the
-    last pair's left), one lane beyond the right-active frontier.
+    anchor increments); the WRITE side canonicalizes for that (roll-at-
+    write at tick end: labels shift one lane, the head's reflector lands
+    at lane 0 — whose hop is always k == 1 at such ticks), so reads here
+    are single static columns.  ``L`` must be ``_n_lanes(n, b) + 1``:
+    hop k runs through nc+1 (the flush of the last pair's left), one
+    lane beyond the right-active frontier.
+
+    STATUS: measured NEGATIVE result — ~57.9 vs the production tick's
+    ~55.2 ms at n=3840/b=128 across three mechanical variants (see
+    PERF_NOTES round-5 Stage II); kept as the bitwise-verified record of
+    the deferral algebra, not routed.
     """
     w = b + 1
     dtype = P.dtype
@@ -1030,7 +1036,6 @@ def _wave_chase_rec_kernel(
 
 def _n_lanes(n, b):
     """Max concurrent hop lanes = ceil(max_sweep_hops / 3)."""
-    w = b + 1
     nc0 = _s_max_of(n, b) - 1  # == nc_of(0, n, b)
     return (nc0 + 2) // 3
 
