@@ -89,7 +89,7 @@ def _panel_kernel(b, m, roff_ref, Pt_in, Rt, Vt, Tt):
         Vt[pl.ds(j8, 8), :] = jnp.where(rows8 == j - j8, v, vblk)
         return carry
 
-    lax.fori_loop(jnp.int32(0), jnp.int32(b), col, 0)
+    lax.fori_loop(jnp.int32(0), jnp.int32(b), col, 0, unroll=4)
     # R: the fully-applied panel with exact zeros beyond each pivot
     Rt[:] = jnp.where(cols > roff + rows, zero, Rt[:])
 
